@@ -1,0 +1,76 @@
+"""Test config: force JAX onto CPU with 8 virtual devices (the JAX-native
+"multi-node without a cluster" mechanism), and provide helpers to import the
+read-only reference implementation for numerical-parity golden tests."""
+import os
+import sys
+import types
+
+# Must happen before any JAX backend initialization.  The axon sitecustomize
+# pins JAX_PLATFORMS=axon, so we must override via jax.config as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# Parity tests compare against float64 numpy/torch references.
+jax.config.update("jax_enable_x64", True)
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE_ROOT = "/root/reference"
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+import pytest  # noqa: E402
+
+
+def _install_pytorch3d_shim():
+    """The reference imports pytorch3d only for so3_exp_map; provide a minimal
+    torch Rodrigues so parity tests can run without pytorch3d installed."""
+    if "pytorch3d" in sys.modules:
+        return
+    import torch
+
+    def so3_exp_map(aa: "torch.Tensor") -> "torch.Tensor":
+        theta = aa.norm(dim=-1)
+        theta2 = theta * theta
+        small = theta < 1e-6
+        a = torch.where(small, 1.0 - theta2 / 6.0, torch.sin(theta) / theta.clamp_min(1e-30))
+        b = torch.where(small, 0.5 - theta2 / 24.0, (1.0 - torch.cos(theta)) / theta2.clamp_min(1e-30))
+        x, y, z = aa[..., 0], aa[..., 1], aa[..., 2]
+        zero = torch.zeros_like(x)
+        k = torch.stack(
+            [zero, -z, y, z, zero, -x, -y, x, zero], dim=-1
+        ).reshape(*aa.shape[:-1], 3, 3)
+        eye = torch.eye(3, dtype=aa.dtype, device=aa.device).expand_as(k)
+        return eye + a[..., None, None] * k + b[..., None, None] * (k @ k)
+
+    pkg = types.ModuleType("pytorch3d")
+    tmod = types.ModuleType("pytorch3d.transforms")
+    tmod.so3_exp_map = so3_exp_map
+    pkg.transforms = tmod
+    sys.modules["pytorch3d"] = pkg
+    sys.modules["pytorch3d.transforms"] = tmod
+
+
+@pytest.fixture(scope="session")
+def reference():
+    """Import the reference repo's `lib` package (read-only golden source)."""
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    _install_pytorch3d_shim()
+    import lib  # noqa: F401
+
+    return sys.modules["lib"]
+
+
+@pytest.fixture(scope="session")
+def generic_hand_model_dict():
+    import json
+
+    with open(os.path.join(REFERENCE_ROOT, "dataset", "generic_hand_model.json")) as fp:
+        return json.load(fp)
