@@ -19,57 +19,6 @@ from umetrack_tpu.models.convert import convert_state_dict
 from umetrack_tpu.models.procrustes import procrustes_align
 
 
-@pytest.fixture(scope="module")
-def torch_model(reference):
-    from lib.models import model_loader
-    from lib.models.model_opts import ModelOpts
-    from lib.models import feature_extractor as fe, temporal as tem
-    from lib.models import skeleton_encoder as se
-    from lib.models.umetrack_model import UmeTrackModel
-
-    torch.manual_seed(0)
-    model_opts = ModelOpts()
-    feature_extractor = fe.FeatureExtractor((96, 96), model_opts)
-    temporal = tem.create_temporal_model(
-        model_opts, feature_extractor.output_feature_sizes
-    )
-    skeleton_encoder = se.SkeletonEncoder(
-        [model_opts.nSkeletonFeatureChannels, *feature_extractor.output_feature_sizes]
-    )
-    regressor_k = model_loader._create_regressor(
-        model_opts, feature_extractor.output_feature_sizes,
-        use_skel=True, predict_skel_scale=False,
-    )
-    regressor_u = model_loader._create_regressor(
-        model_opts, feature_extractor.output_feature_sizes,
-        use_skel=False, predict_skel_scale=True,
-    )
-    model = UmeTrackModel(
-        feature_extractor=feature_extractor,
-        temporal=temporal,
-        skeleton_encoder=skeleton_encoder,
-        regressor_k=regressor_k,
-        regressor_u=regressor_u,
-    )
-    model.eval()
-    # Perturb BN running stats so eval-mode normalization is non-trivial.
-    with torch.no_grad():
-        g = torch.Generator().manual_seed(1)
-        for m in model.modules():
-            if isinstance(m, torch.nn.BatchNorm2d):
-                m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
-                m.running_var.copy_(1.0 + torch.rand(m.running_var.shape, generator=g))
-    return model
-
-
-@pytest.fixture(scope="module")
-def flax_variables(torch_model):
-    sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
-    return jax.tree_util.tree_map(
-        lambda a: jnp.asarray(a, dtype=jnp.float32), convert_state_dict(sd)
-    )
-
-
 def _rand_rigid(rng, n, translate=0.3):
     q, _ = np.linalg.qr(rng.standard_normal((n, 3, 3)))
     det = np.linalg.det(q)

@@ -1,0 +1,214 @@
+"""End-to-end tracker parity: our fused on-device tracker vs. the reference
+HandTracker driven frame-by-frame with the same (converted) weights on the
+same synthetic sequence."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import synthetic
+from umetrack_tpu.models import make_model
+from umetrack_tpu.tracker import (
+    HandTracker,
+    TrackerConfig,
+    gen_crop_set,
+    sequence_landmarks,
+)
+from umetrack_tpu.kinematics.hand import scaled_hand_model
+
+
+T_FRAMES = 12
+
+
+@pytest.fixture(scope="module")
+def seq_data(reference):
+    labels, images = synthetic.make_labels_dict(T_FRAMES, rng_seed=7)
+    return labels, images
+
+
+@pytest.fixture(scope="module")
+def ref_tracker(reference, torch_model):
+    from lib.tracker.tracker import HandTracker as RefTracker, HandTrackerOpts
+
+    return RefTracker(torch_model, HandTrackerOpts())
+
+
+@pytest.fixture(scope="module")
+def ref_hand_model(reference, seq_data):
+    import torch
+    from lib.common.hand import HandModel as RefHandModel
+
+    labels, _ = seq_data
+    return RefHandModel(
+        **{
+            k: torch.Tensor(v) if isinstance(v, list) else v
+            for k, v in labels["hand_model"].items()
+        }
+    )
+
+
+def _ref_crop_cameras(ref_tracker, ref_hand_model, labels, images, frame_idx,
+                      min_num_crops=1):
+    frames = list(synthetic.reference_input_frames(labels, images))
+    input_frame, gt = frames[frame_idx]
+    crop_cameras = ref_tracker.gen_crop_cameras(
+        [v.camera for v in input_frame.views],
+        labels["camera_angles"],
+        ref_hand_model,
+        gt,
+        min_num_crops=min_num_crops,
+    )
+    return input_frame, gt, crop_cameras
+
+
+class TestCropGeneration:
+    def test_crop_set_matches_reference(
+        self, reference, seq_data, ref_tracker, ref_hand_model
+    ):
+        labels, images = seq_data
+        rig, seq, hand = synthetic.our_sequence(labels, images)
+
+        for frame_idx in [0, 5]:
+            _, _, ref_crops = _ref_crop_cameras(
+                ref_tracker, ref_hand_model, labels, images, frame_idx
+            )
+            crop_set = gen_crop_set(
+                rig,
+                seq.T_world_from_camera[frame_idx],
+                hand,
+                seq.gt_joint_angles[frame_idx],
+                seq.gt_wrist_xfs[frame_idx],
+                seq.gt_confidences[frame_idx],
+                TrackerConfig(),
+                min_num_crops=1,
+            )
+            for hand_idx in range(2):
+                ref_has = hand_idx in ref_crops
+                assert bool(crop_set.hand_valid[hand_idx]) == ref_has, (
+                    f"frame {frame_idx} hand {hand_idx}"
+                )
+                if not ref_has:
+                    continue
+                ref_cams = ref_crops[hand_idx]
+                assert int(crop_set.n_views[hand_idx]) == len(ref_cams)
+                for slot, (cam_idx, ref_cam) in enumerate(ref_cams.items()):
+                    assert int(crop_set.src_cam_idx[hand_idx, slot]) == cam_idx
+                    np.testing.assert_allclose(
+                        np.asarray(crop_set.intrinsics[hand_idx, slot]),
+                        ref_cam.uv_to_window_matrix(),
+                        rtol=1e-4,
+                        atol=1e-3,
+                    )
+                    np.testing.assert_allclose(
+                        np.asarray(crop_set.T_world_from_eye[hand_idx, slot]),
+                        ref_cam.camera_to_world_xf,
+                        rtol=1e-3,
+                        atol=5e-2,  # mm-scale translations
+                    )
+
+
+class TestSequenceTracking:
+    def test_sequence_matches_reference(
+        self, reference, seq_data, ref_tracker, ref_hand_model, flax_variables
+    ):
+        import torch
+
+        labels, images = seq_data
+        rig, seq, hand = synthetic.our_sequence(labels, images)
+
+        # --- reference loop (run_eval_known_skeleton.py:68-86)
+        ref_angles = np.zeros((T_FRAMES, 2, 22))
+        ref_wrists = np.zeros((T_FRAMES, 2, 4, 4))
+        ref_valid = np.zeros((T_FRAMES, 2), dtype=bool)
+        ref_tracker._model._temporal._mem_features = torch.empty(0)
+        ref_tracker._model._temporal._prev_extrinsics = torch.empty(0)
+        ref_tracker.reset_history()
+        for ti, (input_frame, gt) in enumerate(
+            synthetic.reference_input_frames(labels, images)
+        ):
+            crop_cameras = ref_tracker.gen_crop_cameras(
+                [v.camera for v in input_frame.views],
+                labels["camera_angles"],
+                ref_hand_model,
+                gt,
+                min_num_crops=1,
+            )
+            res = ref_tracker.track_frame(input_frame, ref_hand_model, crop_cameras)
+            for hand_idx, pose in res.hand_poses.items():
+                ref_angles[ti, hand_idx] = pose.joint_angles
+                ref_wrists[ti, hand_idx] = pose.wrist_xform
+                ref_valid[ti, hand_idx] = True
+
+        # --- ours: one scan over the sequence
+        tracker = HandTracker(make_model(), flax_variables)
+        results, _ = tracker.track_sequence(rig, seq, hand, min_num_crops=1)
+
+        np.testing.assert_array_equal(np.asarray(results.valid), ref_valid)
+
+        v = ref_valid
+        np.testing.assert_allclose(
+            np.asarray(results.joint_angles)[v], ref_angles[v], atol=0.02
+        )
+        np.testing.assert_allclose(
+            np.asarray(results.wrist_xfs)[v][..., :3, :3],
+            ref_wrists[v][..., :3, :3],
+            atol=0.02,
+        )
+        np.testing.assert_allclose(
+            np.asarray(results.wrist_xfs)[v][..., :3, 3],
+            ref_wrists[v][..., :3, 3],
+            atol=2.0,  # mm
+        )
+
+        # dropout frames for hand 1 must be invalid
+        lo = T_FRAMES // 3
+        assert not ref_valid[lo, 1] and not np.asarray(results.valid)[lo, 1]
+
+        # landmarks pipeline shape check
+        lm = sequence_landmarks(
+            hand, results.joint_angles, results.wrist_xfs
+        )
+        assert lm.shape == (T_FRAMES, 2, 21, 3)
+        assert bool(jnp.all(jnp.isfinite(lm)))
+
+    def test_calibration_matches_reference(
+        self, reference, seq_data, ref_tracker, ref_hand_model, flax_variables
+    ):
+        import torch
+        from lib.tracker.tracker import HandTrackerOpts
+
+        labels, images = seq_data
+        rig, seq, hand = synthetic.our_sequence(labels, images)
+
+        ref_tracker._model._temporal._mem_features = torch.empty(0)
+        ref_tracker._model._temporal._prev_extrinsics = torch.empty(0)
+        ref_tracker.reset_history()
+        scale_samples = []
+        n_cal = 10
+        for ti, (input_frame, gt) in enumerate(
+            synthetic.reference_input_frames(labels, images)
+        ):
+            crop_cameras = ref_tracker.gen_crop_cameras(
+                [v.camera for v in input_frame.views],
+                labels["camera_angles"],
+                ref_hand_model,
+                gt,
+                min_num_crops=2,
+            )
+            res = ref_tracker.track_frame_and_calibrate_scale(
+                input_frame, crop_cameras
+            )
+            for hand_idx in res.hand_poses.keys():
+                scale_samples.append(res.predicted_scales[hand_idx])
+            if len(scale_samples) >= n_cal:
+                scale_samples = scale_samples[:n_cal]
+                break
+        ref_scale = float(np.mean(scale_samples))
+
+        tracker = HandTracker(make_model(), flax_variables)
+        our_scale = float(
+            tracker.calibrate_sequence(rig, seq, hand, n_calibration_samples=n_cal)
+        )
+        np.testing.assert_allclose(our_scale, ref_scale, atol=2e-3)
+
+        scaled = scaled_hand_model(hand, our_scale)
+        assert np.isfinite(np.asarray(scaled.joint_rest_positions)).all()

@@ -81,7 +81,11 @@ def gen_crop_camera_from_points(
     # fit against it (reference crop.py:20-22).
     img_size = jnp.asarray(image_size, dtype=pts_eye.dtype)
     cx_cy = (img_size - 1.0) / 2.0
-    ndc = pts_eye[..., 0:2] / pts_eye[..., 2:3]
+    # Guard the projective division so degenerate geometry (which the valid
+    # flag already rejects: it requires z >= 1e-4) yields finite garbage
+    # instead of NaN that would poison masked lanes downstream.
+    safe_z = jnp.where(jnp.abs(pts_eye[..., 2:3]) < 1e-6, 1.0, pts_eye[..., 2:3])
+    ndc = pts_eye[..., 0:2] / safe_z
     max_ndc = jnp.max(jnp.abs(ndc))
     fx_fy = cx_cy / jnp.maximum(max_ndc, 1e-12)
 

@@ -139,6 +139,9 @@ class RegressorOutput:
     wrist_xfs: jnp.ndarray  # [B, 4, 4]
     landmark_uncertainty_sigmas: jnp.ndarray  # [B, 21]
     skel_scales: Optional[jnp.ndarray] = None  # [B]
+    # Raw predicted rigid points (before the SVD decode), kept for training:
+    # supervising these avoids differentiating through the SVD.
+    wrist_points: Optional[jnp.ndarray] = None  # [B, n_rigid_pts, 3]
 
 
 class PoseRegressor(nn.Module):
@@ -190,4 +193,5 @@ class PoseRegressor(nn.Module):
             wrist_xfs=wrist_xfs,
             landmark_uncertainty_sigmas=sigmas,
             skel_scales=skel_scales,
+            wrist_points=pred_pts,
         )

@@ -1,0 +1,140 @@
+"""Image warping / resampling ops (jnp gather implementation).
+
+Two warp entry points mirror the reference's two warp paths:
+
+- :func:`resample_images` — dst-pixel homography warp, the spec being the
+  reference's vectorized numpy ``_resample_images_batched``
+  (/root/reference/lib/batched_dataset/data_transform.py:78-144): a dst pixel
+  samples the src image bilinearly at ``H @ (u, v, 1)``; dst pixels whose
+  source falls outside ``[0, w-2] x [0, h-2]`` stay 0.
+- :func:`fisheye_to_pinhole_coords` — per-pixel unproject(pinhole crop) ->
+  world -> project(fisheye) coordinate field, the spec being the tracker's
+  ``_warp_image`` (tracker.py:54-80) incl. the z<0 -> invalid mask.
+
+Both feed :func:`bilinear_sample`, a pure gather+lerp that XLA fuses well; a
+Pallas kernel with the same contract can swap in underneath.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..geometry import affine
+from ..geometry.cameras import Fisheye62Camera, fisheye62_distort, arctan_project
+
+
+def bilinear_sample(
+    image: jnp.ndarray,  # [H, W]
+    coords: jnp.ndarray,  # [..., 2] (x, y) source pixel coords
+) -> jnp.ndarray:  # [...]
+    """Bilinear sampling with zero outside ``[0, W-2] x [0, H-2]``.
+
+    Matches the reference resampler's out-of-bounds rule
+    (data_transform.py:104-109): a sample is valid only when its floor cell
+    has all four neighbors inside the image; invalid samples return 0.
+    """
+    h, w = image.shape
+    x = coords[..., 0]
+    y = coords[..., 1]
+    valid = (x >= 0) & (x < w - 1) & (y >= 0) & (y < h - 1)
+
+    x = jnp.clip(x, 0.0, w - 2)
+    y = jnp.clip(y, 0.0, h - 2)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = x0 + 1
+    y1 = y0 + 1
+
+    wx = x - x0
+    wy = y - y0
+
+    f00 = image[y0, x0]
+    f01 = image[y1, x0]
+    f10 = image[y0, x1]
+    f11 = image[y1, x1]
+
+    out = (
+        f00 * (1 - wx) * (1 - wy)
+        + f10 * wx * (1 - wy)
+        + f01 * (1 - wx) * wy
+        + f11 * wx * wy
+    )
+    return jnp.where(valid, out, 0.0)
+
+
+def _dst_grid(height: int, width: int, dtype=jnp.float32):
+    ys = jnp.arange(height, dtype=dtype)
+    xs = jnp.arange(width, dtype=dtype)
+    py, px = jnp.meshgrid(ys, xs, indexing="ij")
+    return px, py  # each [H, W]
+
+
+def resample_images(
+    images: jnp.ndarray,  # [N, H, W]
+    resample_xfs: jnp.ndarray,  # [N, 4, 4] dst-pixel -> src-pixel homography
+    out_size: Tuple[int, int],  # (height, width)
+) -> jnp.ndarray:  # [N, h, w]
+    """Warp ``images`` through per-image pixel homographies.
+
+    ``resample_xfs`` takes homogeneous dst pixels (u, v, 1) to src pixels,
+    i.e. the K_src @ E_src^-1... chain computed by the crop math
+    (data_transform.py:57-75).
+    """
+    h_out, w_out = out_size
+    px, py = _dst_grid(h_out, w_out, images.dtype)
+    ones = jnp.ones_like(px)
+    grid = jnp.stack([px, py, ones], axis=-1)  # [h, w, 3]
+
+    r = resample_xfs[:, 0:3, 0:3]
+    t = resample_xfs[:, 0:3, 3]
+    pts = jnp.einsum("nij,hwj->nhwi", r, grid) + t[:, None, None, :]
+    coords = pts[..., 0:2] / pts[..., 2:3]
+
+    import jax
+
+    return jax.vmap(bilinear_sample)(images, coords)
+
+
+def fisheye_to_pinhole_coords(
+    dst_intrinsics: jnp.ndarray,  # [3, 3] crop pinhole K
+    dst_T_world_from_eye: jnp.ndarray,  # [4, 4]
+    src_cam: Fisheye62Camera,  # unbatched
+    out_size: Tuple[int, int],  # (height, width)
+) -> jnp.ndarray:  # [h, w, 2]
+    """Source-pixel coordinate field for warping a fisheye view into a crop
+    camera; invalid (behind-camera) pixels get coordinate -1 like the
+    reference (tracker.py:71-73)."""
+    h_out, w_out = out_size
+    px, py = _dst_grid(h_out, w_out, dst_T_world_from_eye.dtype)
+    fx = dst_intrinsics[0, 0]
+    fy = dst_intrinsics[1, 1]
+    cx = dst_intrinsics[0, 2]
+    cy = dst_intrinsics[1, 2]
+    qx = (px - cx) / fx
+    qy = (py - cy) / fy
+    dirs = affine.normalized(
+        jnp.stack([qx, qy, jnp.ones_like(qx)], axis=-1)
+    )  # [h, w, 3] unit eye rays
+
+    world = affine.transform3(dst_T_world_from_eye, dirs)
+    src_eye = src_cam.world_to_eye(world)
+    p = arctan_project(src_eye)
+    q = fisheye62_distort(src_cam.coeffs, p)
+    win = q * src_cam.f + src_cam.c
+
+    invalid = src_eye[..., 2] < 0
+    return jnp.where(invalid[..., None], -1.0, win)
+
+
+def warp_fisheye_to_pinhole(
+    image: jnp.ndarray,  # [H, W]
+    dst_intrinsics: jnp.ndarray,
+    dst_T_world_from_eye: jnp.ndarray,
+    src_cam: Fisheye62Camera,
+    out_size: Tuple[int, int],
+) -> jnp.ndarray:  # [h, w]
+    coords = fisheye_to_pinhole_coords(
+        dst_intrinsics, dst_T_world_from_eye, src_cam, out_size
+    )
+    return bilinear_sample(image, coords)

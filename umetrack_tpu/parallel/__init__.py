@@ -1,0 +1,26 @@
+from . import mesh, train
+from .mesh import make_mesh, shard_batch, shard_variables
+from .train import (
+    LossWeights,
+    TrainBatch,
+    TrainState,
+    create_train_state,
+    loss_fn,
+    synthetic_train_batch,
+    train_step,
+)
+
+__all__ = [
+    "mesh",
+    "train",
+    "make_mesh",
+    "shard_batch",
+    "shard_variables",
+    "LossWeights",
+    "TrainBatch",
+    "TrainState",
+    "create_train_state",
+    "loss_fn",
+    "synthetic_train_batch",
+    "train_step",
+]

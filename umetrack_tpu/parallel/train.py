@@ -1,0 +1,231 @@
+"""Training step (greenfield: the reference ships no training code).
+
+A full supervised step for the known-skeleton head with a scale-head
+auxiliary, designed to avoid differentiating through the SVD wrist decode:
+
+- joint-angle MSE over the 20 actuated DoF
+- wrist supervision on the raw predicted rigid points in crop-cam0 space
+  against the GT-transformed canonical points (regressor.py:19-47 geometry)
+- landmark Gaussian NLL: landmarks skinned from predicted angles + GT wrist,
+  scored against GT landmarks under the predicted per-landmark sigmas
+- optional log-scale MSE for the scale-prediction head
+
+Runs under pjit on a (data, model) mesh: batch sharded over ``data``, large
+conv kernels sharded over ``model`` (see mesh.py); XLA inserts the psums.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..geometry import affine
+from ..kinematics.hand import HandModel
+from ..kinematics.skinning import skin_landmarks
+from ..models.components import gen_rigid_points
+from ..models.umetrack import (
+    FrameInputs,
+    SkeletonInputs,
+    TemporalState,
+    UmeTrackNet,
+)
+
+
+@struct.dataclass
+class TrainBatch:
+    """One batch of supervised hand samples (meters)."""
+
+    frame: FrameInputs
+    skeleton: SkeletonInputs  # [B, 22, 3] each
+    gt_joint_angles: jnp.ndarray  # [B, 22]
+    gt_wrist_world: jnp.ndarray  # [B, 4, 4] left-convention, meters
+    hand: HandModel  # batched [B, ...] (left, meters)
+    gt_scales: Optional[jnp.ndarray] = None  # [B]
+
+
+@struct.dataclass
+class TrainState:
+    params: dict
+    batch_stats: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+@struct.dataclass
+class LossWeights:
+    angles: float = 1.0
+    wrist_points: float = 1.0
+    landmark_nll: float = 0.1
+    scale: float = 0.1
+
+
+def create_train_state(
+    variables, optimizer: optax.GradientTransformation
+) -> TrainState:
+    return TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=optimizer.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def loss_fn(
+    model: UmeTrackNet,
+    params,
+    batch_stats,
+    batch: TrainBatch,
+    weights: LossWeights = LossWeights(),
+) -> Tuple[jnp.ndarray, Tuple[dict, dict]]:
+    b = batch.gt_joint_angles.shape[0]
+    variables = {"params": params, "batch_stats": batch_stats}
+    state = TemporalState.zeros(b, model.config)
+
+    (out, _), mutated = model.apply(
+        variables,
+        batch.frame,
+        batch.skeleton,
+        state,
+        True,  # train
+        method=UmeTrackNet.known_skeleton,
+        mutable=["batch_stats"],
+    )
+
+    # 1) finger-angle MSE (wrist slots are identically zero on both sides)
+    angle_loss = jnp.mean(
+        (out.joint_angles[:, :20] - batch.gt_joint_angles[:, :20]) ** 2
+    )
+
+    # 2) wrist rigid points in cam0: GT wrist (world, left-conv) -> cam0
+    e0 = batch.frame.extrinsics[:, 0]
+    gt_wrist_cam0 = e0 @ batch.gt_wrist_world
+    rigid = jnp.asarray(gen_rigid_points(model.config.n_wrist_rigid_pts))
+    gt_points = jax.vmap(lambda m: affine.transform3(m, rigid))(gt_wrist_cam0)
+    point_loss = jnp.mean((out.wrist_points - gt_points) ** 2)
+
+    # 3) landmark NLL with predicted angles + GT wrist (no SVD in the path)
+    pred_lm = skin_landmarks(batch.hand, out.joint_angles, batch.gt_wrist_world)
+    gt_lm = skin_landmarks(batch.hand, batch.gt_joint_angles, batch.gt_wrist_world)
+    err = jnp.linalg.norm(pred_lm - gt_lm + 1e-12, axis=-1)  # [B, 21]
+    sig = out.landmark_uncertainty_sigmas
+    nll = jnp.mean(jnp.log(sig) + 0.5 * (err / sig) ** 2)
+
+    total = (
+        weights.angles * angle_loss
+        + weights.wrist_points * point_loss
+        + weights.landmark_nll * nll
+    )
+
+    # 4) scale head (optional)
+    scale_loss = jnp.zeros(())
+    if batch.gt_scales is not None:
+        (out_u, _), mutated_u = model.apply(
+            variables,
+            batch.frame,
+            state,
+            True,
+            method=UmeTrackNet.predict_scale,
+            mutable=["batch_stats"],
+        )
+        scale_loss = jnp.mean(
+            (jnp.log(out_u.skel_scales) - jnp.log(batch.gt_scales)) ** 2
+        )
+        total = total + weights.scale * scale_loss
+
+    metrics = {
+        "loss": total,
+        "angle_loss": angle_loss,
+        "point_loss": point_loss,
+        "landmark_nll": nll,
+        "scale_loss": scale_loss,
+    }
+    return total, (mutated["batch_stats"], metrics)
+
+
+@partial(jax.jit, static_argnames=("model", "optimizer"))
+def train_step(
+    model: UmeTrackNet,
+    optimizer: optax.GradientTransformation,
+    ts: TrainState,
+    batch: TrainBatch,
+) -> Tuple[TrainState, dict]:
+    """One optimizer step; shardings flow from the (params, batch) placement."""
+    grad_fn = jax.value_and_grad(
+        lambda p: loss_fn(model, p, ts.batch_stats, batch), has_aux=True
+    )
+    (_, (new_stats, metrics)), grads = grad_fn(ts.params)
+    updates, new_opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+    new_params = optax.apply_updates(ts.params, updates)
+    return (
+        TrainState(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            step=ts.step + 1,
+        ),
+        metrics,
+    )
+
+
+def synthetic_train_batch(rng_seed: int, batch: int, hand: HandModel) -> TrainBatch:
+    """Random-but-consistent batch for smoke tests and sharding dryruns.
+
+    ``hand`` is an unbatched left-hand model in mm; it is scaled to meters
+    and broadcast over the batch.
+    """
+    import numpy as np
+
+    from ..kinematics.hand import scaled_hand_model
+
+    rng = np.random.default_rng(rng_seed)
+    hand_m = scaled_hand_model(hand, 0.001)
+    hand_b = jax.tree_util.tree_map(
+        lambda a: None if a is None else jnp.broadcast_to(a, (batch, *a.shape)),
+        hand_m,
+    )
+
+    q, _ = np.linalg.qr(rng.standard_normal((batch, 3, 3)))
+    det = np.linalg.det(q)
+    q[..., :, 0] *= np.where(det < 0, -1.0, 1.0)[:, None]
+    wrist = np.tile(np.eye(4, dtype=np.float32), (batch, 1, 1))
+    wrist[:, :3, :3] = q
+    wrist[:, :3, 3] = rng.standard_normal((batch, 3)) * 0.05
+
+    intr = np.tile(np.eye(3, dtype=np.float32), (batch, 2, 1, 1))
+    intr[..., 0, 0] = rng.uniform(150, 300, (batch, 2))
+    intr[..., 1, 1] = intr[..., 0, 0]
+    intr[..., 0, 2] = intr[..., 1, 2] = 47.5
+
+    qe, _ = np.linalg.qr(rng.standard_normal((batch * 2, 3, 3)))
+    dete = np.linalg.det(qe)
+    qe[..., :, 0] *= np.where(dete < 0, -1.0, 1.0)[:, None]
+    extr = np.tile(np.eye(4, dtype=np.float32), (batch * 2, 1, 1))
+    extr[:, :3, :3] = qe
+    extr[:, :3, 3] = rng.standard_normal((batch * 2, 3)) * 0.3
+
+    frame = FrameInputs(
+        images=jnp.asarray(rng.uniform(0, 1, (batch, 2, 96, 96)), jnp.float32),
+        intrinsics=jnp.asarray(intr),
+        extrinsics=jnp.asarray(extr.reshape(batch, 2, 4, 4)),
+        n_views=jnp.full((batch,), 2, jnp.int32),
+        hand_idx=jnp.asarray(rng.integers(0, 2, batch), jnp.int32),
+        use_memory=jnp.zeros((batch,), bool),
+    )
+    skeleton = SkeletonInputs(
+        joint_rotation_axes=hand_b.joint_rotation_axes,
+        joint_rest_positions=hand_b.joint_rest_positions,
+    )
+    return TrainBatch(
+        frame=frame,
+        skeleton=skeleton,
+        gt_joint_angles=jnp.asarray(
+            rng.uniform(-0.5, 0.5, (batch, 22)), jnp.float32
+        ),
+        gt_wrist_world=jnp.asarray(wrist),
+        hand=hand_b,
+        gt_scales=jnp.asarray(rng.uniform(0.8, 1.2, batch), jnp.float32),
+    )

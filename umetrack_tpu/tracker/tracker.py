@@ -1,0 +1,314 @@
+"""The temporal hand tracker — every per-frame step runs on-device in jit.
+
+TPU-native rebuild of the reference ``lib/tracker/tracker.py``: one jitted
+step fuses crop-camera generation (from GT pose, per eval protocol), the
+fisheye->pinhole crop warp, the model forward, the pose decode and the state
+update; whole sequences run under ``jax.lax.scan`` with the temporal memory
+and tracking-history flags as explicit carry.  Only video decode stays on
+the host.
+
+Units contract (tracker.py:26-27,215,258): tracker API is mm, the model
+consumes meters.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import affine
+from ..geometry.cameras import Fisheye62Camera
+from ..kinematics.hand import HandModel, scaled_hand_model
+from ..models.umetrack import FrameInputs, SkeletonInputs, UmeTrackNet
+from ..ops.resample import warp_fisheye_to_pinhole
+from .crops import gen_crop_set, landmarks_from_pose
+from .types import (
+    M_TO_MM,
+    MM_TO_M,
+    CameraRig,
+    CropSet,
+    FrameObservation,
+    FrameResult,
+    TrackState,
+    TrackerConfig,
+)
+
+
+def _warp_crops(
+    rig: CameraRig,
+    images: jnp.ndarray,  # [N, H, W]
+    T_world_from_camera: jnp.ndarray,  # [N, 4, 4]
+    crop_set: CropSet,
+    crop_size: Tuple[int, int],
+) -> jnp.ndarray:  # [2, V, h, w] in [0, 1]
+    """Warp each (hand, view) slot's source fisheye view into its crop
+    camera (reference _warp_image + /255, tracker.py:54-80,211)."""
+
+    flat_src = crop_set.src_cam_idx.reshape(-1)  # [2*V]
+    flat_k = crop_set.intrinsics.reshape(-1, 3, 3)
+    flat_t = crop_set.T_world_from_eye.reshape(-1, 4, 4)
+
+    def warp_one(src_idx, k, t_wfe):
+        cam = Fisheye62Camera(
+            fx=rig.fx[src_idx],
+            fy=rig.fy[src_idx],
+            cx=rig.cx[src_idx],
+            cy=rig.cy[src_idx],
+            width=rig.width[src_idx],
+            height=rig.height[src_idx],
+            coeffs=rig.coeffs[src_idx],
+            T_world_from_eye=T_world_from_camera[src_idx],
+        )
+        img = jnp.take(images, src_idx, axis=0)
+        return warp_fisheye_to_pinhole(img, k, t_wfe, cam, crop_size)
+
+    warped = jax.vmap(warp_one)(flat_src, flat_k, flat_t)
+    warped = warped.reshape(*crop_set.src_cam_idx.shape, *crop_size)
+    warped = warped.astype(jnp.float32) / 255.0
+    return jnp.where(crop_set.view_valid[..., None, None], warped, 0.0)
+
+
+def _frame_inputs_from_crops(
+    crop_set: CropSet,
+    crop_images: jnp.ndarray,  # [2, V, h, w]
+    state: TrackState,
+    enable_memory: bool,
+) -> FrameInputs:
+    """Assemble dense model inputs; invalid view slots inherit view-0
+    geometry so every lane stays finite and orthonormal."""
+    extr_mm = affine.rigid_inverse(crop_set.T_world_from_eye)
+    extr_m = extr_mm.at[..., :3, 3].multiply(MM_TO_M)
+
+    vv = crop_set.view_valid[..., None, None]
+    extr_m = jnp.where(vv, extr_m, extr_m[:, 0:1])
+    intr = jnp.where(vv, crop_set.intrinsics, crop_set.intrinsics[:, 0:1])
+
+    use_memory = state.valid_history & crop_set.hand_valid
+    if not enable_memory:
+        use_memory = jnp.zeros_like(use_memory)
+
+    return FrameInputs(
+        images=crop_images,
+        intrinsics=intr,
+        extrinsics=extr_m,
+        n_views=jnp.maximum(crop_set.n_views, 1),
+        hand_idx=jnp.arange(2, dtype=jnp.int32),
+        use_memory=use_memory,
+    )
+
+
+def _track_step(
+    model: UmeTrackNet,
+    config: TrackerConfig,
+    variables,
+    rig: CameraRig,
+    obs: FrameObservation,
+    state: TrackState,
+    hand_model_mm: HandModel,
+    min_num_crops: int,
+    known: bool,
+) -> Tuple[FrameResult, TrackState]:
+    """One fused tracker step: crops -> warp -> forward -> decode -> state."""
+    crop_set = gen_crop_set(
+        rig,
+        obs.T_world_from_camera,
+        hand_model_mm,
+        obs.gt_joint_angles,
+        obs.gt_wrist_xfs,
+        obs.gt_confidences,
+        config,
+        min_num_crops,
+    )
+    crop_images = _warp_crops(
+        rig, obs.images, obs.T_world_from_camera, crop_set, config.crop_size
+    )
+    frame = _frame_inputs_from_crops(
+        crop_set, crop_images, state, config.enable_memory
+    )
+
+    if known:
+        hand_model_m = scaled_hand_model(hand_model_mm, MM_TO_M)
+        skeleton = SkeletonInputs(
+            joint_rotation_axes=hand_model_m.joint_rotation_axes[None],
+            joint_rest_positions=hand_model_m.joint_rest_positions[None],
+        )
+        out, new_temporal = model.apply(
+            variables, frame, skeleton, state.temporal,
+            method=UmeTrackNet.known_skeleton,
+        )
+    else:
+        out, new_temporal = model.apply(
+            variables, frame, state.temporal, method=UmeTrackNet.predict_scale
+        )
+
+    wrist_mm = out.wrist_xfs.at[..., :3, 3].multiply(M_TO_MM)
+    result = FrameResult(
+        joint_angles=out.joint_angles,
+        wrist_xfs=wrist_mm,
+        valid=crop_set.hand_valid,
+        n_views=crop_set.n_views,
+        predicted_scales=out.skel_scales,
+    )
+    new_state = TrackState(
+        temporal=new_temporal, valid_history=crop_set.hand_valid
+    )
+    return result, new_state
+
+
+@partial(
+    jax.jit, static_argnames=("model", "config", "min_num_crops", "known")
+)
+def track_frame(
+    model: UmeTrackNet,
+    config: TrackerConfig,
+    variables,
+    rig: CameraRig,
+    obs: FrameObservation,
+    state: TrackState,
+    hand_model_mm: HandModel,
+    min_num_crops: int = 1,
+    known: bool = True,
+) -> Tuple[FrameResult, TrackState]:
+    """Single-frame streaming entry point (reference track_frame /
+    track_frame_and_calibrate_scale, tracker.py:141-192)."""
+    return _track_step(
+        model, config, variables, rig, obs, state, hand_model_mm,
+        min_num_crops, known,
+    )
+
+
+@partial(jax.jit, static_argnames=("model", "config", "min_num_crops"))
+def track_sequence(
+    model: UmeTrackNet,
+    config: TrackerConfig,
+    variables,
+    rig: CameraRig,
+    seq: FrameObservation,  # leading T axis on every leaf
+    init_state: TrackState,
+    hand_model_mm: HandModel,
+    min_num_crops: int = 1,
+) -> Tuple[FrameResult, TrackState]:
+    """Known-skeleton tracking over a whole sequence via lax.scan."""
+
+    def body(state, obs):
+        res, state = _track_step(
+            model, config, variables, rig, obs, state, hand_model_mm,
+            min_num_crops, known=True,
+        )
+        return state, res
+
+    final_state, results = jax.lax.scan(body, init_state, seq)
+    return results, final_state
+
+
+@partial(
+    jax.jit, static_argnames=("model", "config", "n_calibration_samples")
+)
+def calibrate_sequence(
+    model: UmeTrackNet,
+    config: TrackerConfig,
+    variables,
+    rig: CameraRig,
+    seq: FrameObservation,
+    init_state: TrackState,
+    hand_model_mm: HandModel,
+    n_calibration_samples: int = 30,
+) -> jnp.ndarray:
+    """Unknown-skeleton pass 1 (run_eval_unknown_skeleton.py:49-78): predict
+    per-frame skeleton scales on 2-view frames and average the first
+    ``n_calibration_samples`` valid ones (0 = use all).  Returns the mean
+    scale (scalar)."""
+
+    def body(state, obs):
+        res, state = _track_step(
+            model, config, variables, rig, obs, state, hand_model_mm, 2,
+            known=False,
+        )
+        return state, (res.predicted_scales, res.valid)
+
+    _, (scales, valid) = jax.lax.scan(body, init_state, seq)
+    # Frame-major, hand 0 before hand 1 — the reference's append order.
+    flat_scales = scales.reshape(-1)
+    flat_valid = valid.reshape(-1)
+    if n_calibration_samples:
+        take = flat_valid & (
+            jnp.cumsum(flat_valid.astype(jnp.int32)) <= n_calibration_samples
+        )
+    else:
+        take = flat_valid
+    w = take.astype(flat_scales.dtype)
+    return jnp.sum(flat_scales * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def sequence_landmarks(
+    hand_model_mm: HandModel,
+    joint_angles: jnp.ndarray,  # [T, 2, 22]
+    wrist_xfs: jnp.ndarray,  # [T, 2, 4, 4] mm
+) -> jnp.ndarray:  # [T, 2, 21, 3]
+    """World landmarks for a whole tracked sequence (both hands)."""
+
+    def per_frame(angles, wrists):
+        return jax.vmap(
+            lambda a, w, h: landmarks_from_pose(hand_model_mm, a, w, h)
+        )(angles, wrists, jnp.arange(2, dtype=jnp.int32))
+
+    return jax.vmap(per_frame)(joint_angles, wrist_xfs)
+
+
+class HandTracker:
+    """Convenience wrapper bundling model, weights and config.
+
+    The underlying compute entry points are the free jitted functions above;
+    this class mirrors the reference ``HandTracker`` surface
+    (tracker.py:83-192) for familiarity.
+    """
+
+    def __init__(
+        self,
+        model: UmeTrackNet,
+        variables,
+        config: Optional[TrackerConfig] = None,
+    ):
+        self.model = model
+        self.variables = variables
+        self.config = config or TrackerConfig()
+
+    def init_state(self) -> TrackState:
+        return TrackState.init(self.model.config)
+
+    def track_frame(
+        self, rig, obs, state, hand_model_mm, min_num_crops: int = 1
+    ):
+        return track_frame(
+            self.model, self.config, self.variables, rig, obs, state,
+            hand_model_mm, min_num_crops, known=True,
+        )
+
+    def track_frame_and_calibrate_scale(
+        self, rig, obs, state, hand_model_mm, min_num_crops: int = 2
+    ):
+        return track_frame(
+            self.model, self.config, self.variables, rig, obs, state,
+            hand_model_mm, min_num_crops, known=False,
+        )
+
+    def track_sequence(
+        self, rig, seq, hand_model_mm, min_num_crops: int = 1,
+        init_state: Optional[TrackState] = None,
+    ):
+        return track_sequence(
+            self.model, self.config, self.variables, rig, seq,
+            init_state or self.init_state(), hand_model_mm, min_num_crops,
+        )
+
+    def calibrate_sequence(
+        self, rig, seq, hand_model_mm, n_calibration_samples: int = 30,
+        init_state: Optional[TrackState] = None,
+    ):
+        return calibrate_sequence(
+            self.model, self.config, self.variables, rig, seq,
+            init_state or self.init_state(), hand_model_mm,
+            n_calibration_samples,
+        )

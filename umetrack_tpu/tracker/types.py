@@ -1,0 +1,113 @@
+"""Tracker data structures: static config + pytree state/inputs/results.
+
+Replaces the reference's dict-of-dicts tracker interfaces (tracker.py:33-51,
+tracking_result.py:14-30) with dense, mask-based pytrees so the whole
+tracker runs inside jit/scan: 2 hand slots x 2 view slots with validity
+masks instead of ragged dicts.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..models.umetrack import TemporalState
+
+MM_TO_M = 0.001
+M_TO_MM = 1000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Static knobs (reference HandTrackerOpts, tracker.py:45-51 + constants
+    tracker.py:26-30)."""
+
+    num_crop_points: int = 63  # 21 (gt) / 42 (+neutral) / 63 (+open)
+    enable_memory: bool = True
+    hand_ratio_in_crop: float = 0.95  # focal multiplier
+    min_required_vis_landmarks: int = 19
+    confidence_threshold: float = 0.5
+    max_views: int = 2
+    crop_size: Tuple[int, int] = (96, 96)
+
+
+@struct.dataclass
+class CameraRig:
+    """N fisheye cameras; intrinsics static per sequence, pose per frame.
+
+    * coeffs: [N, 8] fisheye62 distortion (k1 k2 k3 k4 p1 p2 k5 k6)
+    * fx, fy, cx, cy, width, height: [N]
+    * camera_angles: [N] physical mounting roll in degrees
+    """
+
+    fx: jnp.ndarray
+    fy: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    width: jnp.ndarray
+    height: jnp.ndarray
+    coeffs: jnp.ndarray
+    camera_angles: jnp.ndarray
+
+    @property
+    def num_cameras(self) -> int:
+        return self.fx.shape[0]
+
+
+@struct.dataclass
+class FrameObservation:
+    """One frame of input: images + camera poses + GT poses (for crop gen).
+
+    * images: [N, H, W] (uint8 or float) raw per-camera views
+    * T_world_from_camera: [N, 4, 4] per-frame camera poses (mm world)
+    * gt_joint_angles: [2, 22]
+    * gt_wrist_xfs: [2, 4, 4] (mm, left-hand convention)
+    * gt_confidences: [2]
+    """
+
+    images: jnp.ndarray
+    T_world_from_camera: jnp.ndarray
+    gt_joint_angles: jnp.ndarray
+    gt_wrist_xfs: jnp.ndarray
+    gt_confidences: jnp.ndarray
+
+
+@struct.dataclass
+class TrackState:
+    """Carry: temporal memory (2 rows = 2 hands) + per-hand history flags
+    (the reference's ``_valid_tracking_history``, tracker.py:96)."""
+
+    temporal: TemporalState
+    valid_history: jnp.ndarray  # [2] bool
+
+    @staticmethod
+    def init(config, dtype=jnp.float32) -> "TrackState":
+        return TrackState(
+            temporal=TemporalState.zeros(2, config, dtype),
+            valid_history=jnp.zeros((2,), dtype=bool),
+        )
+
+
+@struct.dataclass
+class CropSet:
+    """Dense per-frame crop cameras: [2 hands, V views] slots + masks."""
+
+    intrinsics: jnp.ndarray  # [2, V, 3, 3]
+    T_world_from_eye: jnp.ndarray  # [2, V, 4, 4] (mm world)
+    src_cam_idx: jnp.ndarray  # [2, V] int32 source camera per slot
+    view_valid: jnp.ndarray  # [2, V] bool (valid views packed first)
+    hand_valid: jnp.ndarray  # [2] bool
+    n_views: jnp.ndarray  # [2] int32
+
+
+@struct.dataclass
+class FrameResult:
+    """Per-frame tracking output in mm world space."""
+
+    joint_angles: jnp.ndarray  # [2, 22]
+    wrist_xfs: jnp.ndarray  # [2, 4, 4] (translation mm)
+    valid: jnp.ndarray  # [2] bool
+    n_views: jnp.ndarray  # [2] int32
+    predicted_scales: Optional[jnp.ndarray] = None  # [2]
