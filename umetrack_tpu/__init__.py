@@ -15,3 +15,28 @@ facebookresearch/UmeTrack (reference layout documented in SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+
+def _default_compilation_cache() -> None:
+    """Persistent XLA compilation cache (compiles via the remote-compile
+    tunnel run minutes; caching makes repeat runs instant).  Opt out with
+    UMETRACK_NO_COMPILE_CACHE=1."""
+    import os
+
+    if os.environ.get("UMETRACK_NO_COMPILE_CACHE"):
+        return
+    path = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/umetrack_jax"),
+    )
+    try:
+        import jax
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_default_compilation_cache()
+

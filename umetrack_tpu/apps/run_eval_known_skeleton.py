@@ -1,0 +1,142 @@
+"""Known-skeleton raw_data evaluation (the primary benchmark protocol).
+
+Reproduces the reference ``run_eval_known_skeleton.py``: for every testing
+``*.mp4`` + ``*.json`` sequence, generate crop cameras from the GT pose
+(min 1 crop), track with the temporal model using the per-user calibrated
+skeleton, and pickle per-sequence artifacts for ``load_eval`` aggregation.
+
+TPU-first: the reference forks a pool of 8 processes each rebuilding the
+model; here one process drives the chip, a sequence is one ``lax.scan`` and
+host threads prefetch/decode the next sequences while the device tracks the
+current one.  ``--synthetic N`` runs on generated sequences when
+UmeTrack_data is unavailable.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+
+import jax
+import numpy as np
+
+from ..data import fs
+from ..models import init_model
+from ..tracker import HandTracker
+from .sequence_eval import (
+    eval_sequence_known,
+    find_input_output_files,
+    save_artifact,
+    sequence_mean_error,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def load_model(checkpoint: str | None):
+    from ..models.convert import load_torch_checkpoint
+    from ..utils.checkpoints import load_checkpoint
+
+    model, variables = init_model(jax.random.PRNGKey(0))
+    if checkpoint:
+        if checkpoint.endswith(".torch"):
+            variables = load_torch_checkpoint(checkpoint)
+        else:
+            variables = load_checkpoint(checkpoint, variables)
+    return model, variables
+
+
+def run_real(args, tracker: HandTracker):
+    from ..data.dataset import prefetch_map
+    from ..tracker.video import load_sequence
+
+    inputs, outputs = find_input_output_files(
+        args.input_dir, args.output_dir, test_only=not args.all_splits
+    )
+    # Shard sequences across hosts (replaces the reference's Pool(8) +
+    # per-sequence fork; decode is host-local, tracking is on-device).
+    inputs = inputs[args.rank:: args.world_size]
+    outputs = outputs[args.rank:: args.world_size]
+
+    todo = [
+        (i, o) for i, o in zip(inputs, outputs)
+        if args.override or not fs.exists(o)
+    ]
+    logger.info("%d sequences to process", len(todo))
+
+    errors = []
+    for (in_path, out_path), seq in zip(
+        todo, prefetch_map(lambda p: load_sequence(p[0]), iter(todo),
+                           num_threads=2, max_prefetch=2)
+    ):
+        logger.info("Processing %s ...", in_path)
+        artifact = eval_sequence_known(tracker, seq)
+        save_artifact(out_path, artifact)
+        err = sequence_mean_error(artifact)
+        errors.append(err)
+        logger.info("%s: mean error %.3f mm -> %s", in_path, err, out_path)
+    if errors:
+        logger.info("Final mean error: %.4f mm", float(np.nanmean(errors)))
+    return errors
+
+
+def run_synthetic(args, tracker: HandTracker):
+    from ..utils import synthetic
+
+    errors = []
+    for i in range(args.synthetic):
+        labels, images = synthetic.make_labels_dict(
+            args.synthetic_frames, rng_seed=i
+        )
+        rig, obs_seq, hand = synthetic.our_sequence(labels, images)
+        from ..tracker.video import SequenceData
+
+        seq = SequenceData(
+            images=np.asarray(obs_seq.images),
+            T_world_from_camera=np.asarray(obs_seq.T_world_from_camera),
+            gt_joint_angles=np.asarray(obs_seq.gt_joint_angles),
+            gt_wrist_xfs=np.asarray(obs_seq.gt_wrist_xfs),
+            gt_confidences=np.asarray(obs_seq.gt_confidences),
+            rig=rig,
+            hand_model_mm=hand,
+            n_frames=len(np.asarray(obs_seq.images)),
+        )
+        artifact = eval_sequence_known(tracker, seq)
+        out_path = fs.join(args.output_dir, "synthetic", f"seq_{i:04d}.npy")
+        save_artifact(out_path, artifact)
+        err = sequence_mean_error(artifact)
+        errors.append(err)
+        logger.info("synthetic seq %d: mean error %.3f mm", i, err)
+    if errors:
+        logger.info("Final mean error: %.4f mm", float(np.nanmean(errors)))
+    return errors
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--input-dir", default=None,
+                        help="UmeTrack_data/raw_data/real root")
+    parser.add_argument("--output-dir", required=True)
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--override", action="store_true")
+    parser.add_argument("--all-splits", action="store_true",
+                        help="also process non-'testing' folders")
+    parser.add_argument("--rank", type=int, default=0)
+    parser.add_argument("--world-size", type=int, default=1)
+    parser.add_argument("--synthetic", type=int, default=0,
+                        help="run N synthetic sequences instead of raw_data")
+    parser.add_argument("--synthetic-frames", type=int, default=64)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    model, variables = load_model(args.checkpoint)
+    tracker = HandTracker(model, variables)
+
+    if args.synthetic:
+        run_synthetic(args, tracker)
+    else:
+        assert args.input_dir, "--input-dir required without --synthetic"
+        run_real(args, tracker)
+
+
+if __name__ == "__main__":
+    main()

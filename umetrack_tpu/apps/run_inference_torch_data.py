@@ -1,0 +1,218 @@
+"""Batched torch_data inference (the throughput eval path).
+
+Reproduces the protocol of the reference ``run_inference_torch_data.py``:
+iterate the TEST split of torch_data folders (fields ``mono`` + ``labels``),
+preprocess each sequence into 96x96 left-hand crops, step the model over the
+sequence with temporal memory (``use_memory=False`` only at t=0), skin GT
+and predicted landmarks with the per-sample (mirrored) hand model, and
+report mean keypoint error in mm.
+
+TPU-first differences: preprocessing runs on device inside the same jit as
+the model scan (no fork workers); sequences are batched and scanned
+time-major; the batch axis shards over the mesh's ``data`` axis when more
+than one device is present.  Unlike the reference (hard-coded __main__
+constants), everything is a CLI flag.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import Sampler, Split, bundles, find_dataset, iterate_dataset
+from ..data.transform import ModelInput
+from ..kinematics.hand import mirrored_hand_model
+from ..kinematics.skinning import skin_landmarks
+from ..models.umetrack import (
+    FrameInputs,
+    SkeletonInputs,
+    TemporalState,
+    UmeTrackNet,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@partial(jax.jit, static_argnames=("model",))
+def eval_batch(
+    model: UmeTrackNet,
+    variables,
+    model_input: ModelInput,  # leaves batched [B, T, ...]
+    gt_joint_angles: jnp.ndarray,  # [B, T, 22]
+    gt_wrist_xfs: jnp.ndarray,  # [B, T, 4, 4] meters
+) -> jnp.ndarray:
+    """Per-sample mean keypoint error (mm) for a batch of sequences
+    (reference _eval_batch, run_inference_torch_data.py:88-135)."""
+    b, t = model_input.left_images.shape[:2]
+
+    skeleton = SkeletonInputs(
+        joint_rotation_axes=model_input.orig_pose_data.left_hand_model.joint_rotation_axes,
+        joint_rest_positions=model_input.orig_pose_data.left_hand_model.joint_rest_positions,
+    )
+
+    def step(state, xs):
+        images, intr, extr, first = xs
+        frame = FrameInputs(
+            images=images,
+            intrinsics=intr,
+            extrinsics=extr,
+            n_views=jnp.full((b,), images.shape[1], jnp.int32),
+            hand_idx=model_input.hand_idx[:, 0].astype(jnp.int32),
+            use_memory=jnp.broadcast_to(~first, (b,)),
+        )
+        out, new_state = model.apply(
+            variables, frame, skeleton, state, method=UmeTrackNet.known_skeleton
+        )
+        return new_state, (out.joint_angles, out.wrist_xfs)
+
+    xs = (
+        jnp.moveaxis(model_input.left_images, 0, 1),
+        jnp.moveaxis(model_input.intrinsics, 0, 1),
+        jnp.moveaxis(model_input.extrinsics_xf, 0, 1),
+        jnp.arange(t) == 0,
+    )
+    state = TemporalState.zeros(b, model.config, model_input.left_images.dtype)
+    _, (angles_t, wrists_t) = jax.lax.scan(step, state, xs)
+    pred_angles = jnp.moveaxis(angles_t, 0, 1)  # [B, T, 22]
+    pred_wrists = jnp.moveaxis(wrists_t, 0, 1)  # [B, T, 4, 4]
+
+    # Mirror the left model back to the true side for landmark skinning
+    # (run_inference_torch_data.py:91-94).
+    hand = mirrored_hand_model(
+        model_input.orig_pose_data.left_hand_model,
+        model_input.hand_idx[:, 0] == 1,
+    )
+    # Broadcast the per-sample hand model over time for batched skinning.
+    hand_bt = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[:, None], (b, t, *a.shape[1:])), hand
+    )
+    gt_lm = skin_landmarks(hand_bt, gt_joint_angles, gt_wrist_xfs)
+    pred_lm = skin_landmarks(hand_bt, pred_angles, pred_wrists)
+    err = jnp.linalg.norm(gt_lm - pred_lm, axis=-1).mean(axis=(1, 2))
+    return err * 1000.0
+
+
+def run(
+    data_roots,
+    variables,
+    model: UmeTrackNet,
+    batch_size: int = 16,
+    crop_size=(96, 96),
+    distrib_info=(0, 1),
+    num_threads: int = 6,
+    max_prefetch: int = 16,
+    splits=(Split.TEST,),
+    limit_batches: Optional[int] = None,
+):
+    """Returns {split: mean keypoint error mm}."""
+    datasets = find_dataset(data_roots, ["mono", "labels"])
+    results = {}
+    for split, dataset in datasets.items():
+        if split not in splits:
+            continue
+        logger.info("split %s: %d sequences", split.value, len(dataset))
+        sampler = Sampler(len(dataset), shuffle=False, distrib_info=distrib_info)
+
+        def load(item):
+            # Host: parse bytes only. Device work happens in eval_batch's jit.
+            return item
+
+        errors = []
+        batch = []
+        n_batches = 0
+        t0 = time.time()
+        for item in iterate_dataset(
+            dataset, sampler, transform=load, num_threads=num_threads,
+            max_prefetch=max_prefetch,
+        ):
+            batch.append(item)
+            if len(batch) < batch_size:
+                continue
+            errors.append(_run_batch(model, variables, batch, crop_size))
+            batch = []
+            n_batches += 1
+            if limit_batches and n_batches >= limit_batches:
+                break
+        if batch and not (limit_batches and n_batches >= limit_batches):
+            errors.append(_run_batch(model, variables, batch, crop_size))
+        if errors:
+            all_err = np.concatenate(errors)
+            results[split] = float(all_err.mean())
+            dt = time.time() - t0
+            logger.info(
+                "split %s: %.3f mm over %d sequences (%.1f s)",
+                split.value, results[split], len(all_err), dt,
+            )
+    return results
+
+
+@partial(jax.jit, static_argnames=("model", "crop_size"))
+def _preprocess_and_eval(model, variables, raw_batch, crop_size):
+    from ..data.transform import preprocess_sequence
+
+    model_input, target = jax.vmap(
+        lambda r: preprocess_sequence(r, crop_size)
+    )(raw_batch)
+    return eval_batch(
+        model, variables, model_input,
+        target.gt_joint_angles, target.gt_wrist_xfs,
+    )
+
+
+def _run_batch(model, variables, items, crop_size):
+    from ..data.transform import parse_raw_buffers
+
+    raws = [parse_raw_buffers(it["mono"], it["labels"]) for it in items]
+    raw_batch = bundles.collate([jax.device_get(r) for r in raws])
+    err = _preprocess_and_eval(model, variables, raw_batch, tuple(crop_size))
+    return np.asarray(err)
+
+
+def main(argv=None):
+    from ..models import init_model
+    from ..models.convert import load_torch_checkpoint
+    from ..utils.checkpoints import load_checkpoint
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--data", nargs="+", required=True,
+                        help="torch_data roots (e.g. .../torch_data/real)")
+    parser.add_argument("--checkpoint", default=None,
+                        help="orbax/msgpack checkpoint dir or .torch file")
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--rank", type=int, default=0)
+    parser.add_argument("--world-size", type=int, default=1)
+    parser.add_argument("--limit-batches", type=int, default=None)
+    parser.add_argument("--json", action="store_true", help="print JSON result")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    model, variables = init_model(jax.random.PRNGKey(0))
+    if args.checkpoint:
+        if args.checkpoint.endswith(".torch"):
+            variables = load_torch_checkpoint(args.checkpoint)
+        else:
+            variables = load_checkpoint(args.checkpoint, variables)
+
+    results = run(
+        args.data, variables, model,
+        batch_size=args.batch_size,
+        distrib_info=(args.rank, args.world_size),
+        limit_batches=args.limit_batches,
+    )
+    out = {s.value: v for s, v in results.items()}
+    if args.json:
+        print(json.dumps(out))
+    else:
+        for split, err in out.items():
+            print(f"Keypoint errors ({split}): {err:.4f} mm")
+
+
+if __name__ == "__main__":
+    main()

@@ -109,6 +109,7 @@ def _track_step(
     hand_model_mm: HandModel,
     min_num_crops: int,
     known: bool,
+    skel_hand_model_mm: HandModel = None,
 ) -> Tuple[FrameResult, TrackState]:
     """One fused tracker step: crops -> warp -> forward -> decode -> state."""
     crop_set = gen_crop_set(
@@ -129,7 +130,12 @@ def _track_step(
     )
 
     if known:
-        hand_model_m = scaled_hand_model(hand_model_mm, MM_TO_M)
+        # Crops always come from ``hand_model_mm`` (the GT skeleton per the
+        # eval protocol); the model's skeleton input may differ — e.g. the
+        # calibrated generic skeleton in unknown-skeleton pass 2
+        # (run_eval_unknown_skeleton.py:110-119).
+        skel_src = hand_model_mm if skel_hand_model_mm is None else skel_hand_model_mm
+        hand_model_m = scaled_hand_model(skel_src, MM_TO_M)
         skeleton = SkeletonInputs(
             joint_rotation_axes=hand_model_m.joint_rotation_axes[None],
             joint_rest_positions=hand_model_m.joint_rest_positions[None],
@@ -189,13 +195,14 @@ def track_sequence(
     init_state: TrackState,
     hand_model_mm: HandModel,
     min_num_crops: int = 1,
+    skel_hand_model_mm: HandModel = None,
 ) -> Tuple[FrameResult, TrackState]:
     """Known-skeleton tracking over a whole sequence via lax.scan."""
 
     def body(state, obs):
         res, state = _track_step(
             model, config, variables, rig, obs, state, hand_model_mm,
-            min_num_crops, known=True,
+            min_num_crops, known=True, skel_hand_model_mm=skel_hand_model_mm,
         )
         return state, res
 
@@ -297,10 +304,12 @@ class HandTracker:
     def track_sequence(
         self, rig, seq, hand_model_mm, min_num_crops: int = 1,
         init_state: Optional[TrackState] = None,
+        skel_hand_model_mm=None,
     ):
         return track_sequence(
             self.model, self.config, self.variables, rig, seq,
             init_state or self.init_state(), hand_model_mm, min_num_crops,
+            skel_hand_model_mm,
         )
 
     def calibrate_sequence(
