@@ -20,6 +20,7 @@ import numpy as np
 
 def bench_ours(t_frames=64, repeats=3):
     import jax
+    import jax.numpy as jnp
 
     from umetrack_tpu.models import init_model
     from umetrack_tpu.tracker import HandTracker
@@ -31,15 +32,21 @@ def bench_ours(t_frames=64, repeats=3):
     model, variables = init_model(jax.random.PRNGKey(0))
     tracker = HandTracker(model, variables)
 
-    # warmup/compile
-    results, _ = tracker.track_sequence(rig, seq, hand)
-    jax.block_until_ready(results.joint_angles)
+    def run_once(seq_in):
+        results, _ = tracker.track_sequence(rig, seq_in, hand)
+        # NOTE: on the axon remote platform block_until_ready returns at
+        # enqueue time; a host fetch is the only honest completion barrier.
+        return np.asarray(results.joint_angles)
+
+    run_once(seq)  # warmup/compile
 
     best = float("inf")
-    for _ in range(repeats):
+    for i in range(repeats):
+        # Fresh input buffers each repeat so no layer can shortcut the work.
+        seq_i = seq.replace(images=seq.images + jnp.uint8(i + 1))
+        jax.block_until_ready(seq_i.images)
         t0 = time.perf_counter()
-        results, _ = tracker.track_sequence(rig, seq, hand)
-        jax.block_until_ready(results.joint_angles)
+        run_once(seq_i)
         best = min(best, time.perf_counter() - t0)
     return t_frames / best
 

@@ -1,0 +1,148 @@
+"""Mesh/sharding layer: training step + distributed eval on the 8-device
+virtual CPU mesh; sharded results must match unsharded."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from umetrack_tpu.models import init_model
+from umetrack_tpu.parallel import (
+    create_train_state,
+    make_mesh,
+    shard_batch,
+    shard_variables,
+    synthetic_train_batch,
+    train_step,
+)
+from umetrack_tpu.parallel.eval import (
+    eval_sequences_batched,
+    make_batched_state,
+    shard_eval_inputs,
+)
+from umetrack_tpu.kinematics.hand import from_dict
+from umetrack_tpu.tracker import TrackerConfig
+from umetrack_tpu.utils import synthetic
+
+
+@pytest.fixture(scope="module")
+def model_vars():
+    return init_model(jax.random.PRNGKey(0))
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(jax.devices())
+    assert mesh.shape["data"] * mesh.shape["model"] == len(jax.devices())
+    assert mesh.shape["model"] == 2
+
+
+def test_train_step_sharded_matches_unsharded(model_vars):
+    model, variables = model_vars
+    hand = from_dict(synthetic.load_generic_hand_dict())
+    optimizer = optax.sgd(1e-3)
+    batch = synthetic_train_batch(0, 8, hand)
+
+    # unsharded
+    ts0 = create_train_state(variables, optimizer)
+    _, metrics0 = train_step(model, optimizer, ts0, batch)
+
+    # sharded over 4x2 mesh
+    mesh = make_mesh(jax.devices())
+    vars_sharded = shard_variables(variables, mesh)
+    ts1 = create_train_state(vars_sharded, optimizer)
+    batch_sharded = shard_batch(batch, mesh)
+    _, metrics1 = train_step(model, optimizer, ts1, batch_sharded)
+
+    np.testing.assert_allclose(
+        float(metrics0["loss"]), float(metrics1["loss"]), rtol=1e-5
+    )
+
+
+def test_train_step_decreases_loss(model_vars):
+    model, variables = model_vars
+    hand = from_dict(synthetic.load_generic_hand_dict())
+    optimizer = optax.adam(1e-3)
+    ts = create_train_state(variables, optimizer)
+    batch = synthetic_train_batch(1, 4, hand)
+    losses = []
+    for _ in range(5):
+        ts, metrics = train_step(model, optimizer, ts, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+@pytest.fixture(scope="module")
+def small_sequences():
+    s, t = 4, 4
+    rigs, seqs, hands = [], [], []
+    for i in range(s):
+        labels, images = synthetic.make_labels_dict(t, rng_seed=20 + i)
+        rig, seq, hand = synthetic.our_sequence(labels, images)
+        rigs.append(rig)
+        seqs.append(seq)
+        hands.append(hand)
+    stack = lambda xs: jax.tree_util.tree_map(lambda *a: jnp.stack(a), *xs)
+    return stack(rigs), stack(seqs), stack(hands)
+
+
+def test_distributed_eval_matches_single(model_vars, small_sequences):
+    model, variables = model_vars
+    rigs, seqs, hands = small_sequences
+    cfg = TrackerConfig()
+    s = rigs.fx.shape[0]
+
+    state = make_batched_state(model, s)
+    err_single, n_valid, mean_single = eval_sequences_batched(
+        model, cfg, variables, rigs, seqs, state, hands
+    )
+
+    mesh = make_mesh(jax.devices()[:4], model_axis=1)  # data=4
+    rigs_s, seqs_s, state_s, hands_s = shard_eval_inputs(
+        mesh, rigs, seqs, state, hands
+    )
+    err_sharded, _, mean_sharded = eval_sequences_batched(
+        model, cfg, variables, rigs_s, seqs_s, state_s, hands_s
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(err_single), np.asarray(err_sharded), rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        float(mean_single), float(mean_sharded), rtol=1e-4, atol=1e-3
+    )
+    assert np.all(np.asarray(n_valid) > 0)
+
+
+def test_batched_matches_per_sequence_tracking(model_vars, small_sequences):
+    """The merged-batch multi-sequence path must reproduce per-sequence
+    tracking results exactly (same graph, different batching)."""
+    from umetrack_tpu.tracker import HandTracker
+
+    model, variables = model_vars
+    rigs, seqs, hands = small_sequences
+    cfg = TrackerConfig()
+    s = rigs.fx.shape[0]
+
+    state = make_batched_state(model, s)
+    from umetrack_tpu.tracker.tracker import track_sequences_batched
+
+    res_b, _ = track_sequences_batched(
+        model, cfg, variables, rigs, seqs, state, hands
+    )
+
+    tracker = HandTracker(model, variables)
+    for i in range(s):
+        rig_i = jax.tree_util.tree_map(lambda a: a[i], rigs)
+        seq_i = jax.tree_util.tree_map(lambda a: a[i], seqs)
+        hand_i = jax.tree_util.tree_map(
+            lambda a: None if a is None else a[i], hands
+        )
+        res_i, _ = tracker.track_sequence(rig_i, seq_i, hand_i)
+        np.testing.assert_array_equal(
+            np.asarray(res_b.valid)[:, i], np.asarray(res_i.valid)
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_b.joint_angles)[:, i],
+            np.asarray(res_i.joint_angles),
+            rtol=1e-4, atol=1e-4,
+        )

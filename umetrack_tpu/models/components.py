@@ -178,7 +178,7 @@ class PoseRegressor(nn.Module):
             gen_rigid_points(cfg.n_wrist_rigid_pts), dtype=pose_features.dtype
         )
         from_pts = jnp.broadcast_to(rigid_src, (b, *rigid_src.shape))
-        wrist_xfs = procrustes_align(from_pts, pred_pts)
+        wrist_xfs = procrustes_align(from_pts, pred_pts, cfg.procrustes_method)
 
         skel_scales = None
         if self.predict_skel_scale:

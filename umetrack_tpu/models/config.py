@@ -38,6 +38,8 @@ class ModelConfig:
 
     # Regressor
     n_wrist_rigid_pts: int = 7
+    # Wrist decode: "quat" (Horn power iteration, fast on TPU) or "svd"
+    procrustes_method: str = "quat"
 
     # Dtypes: params live in f32; compute dtype can be bf16 on TPU.
     compute_dtype: str = "float32"

@@ -6,6 +6,7 @@ from .tracker import (
     sequence_landmarks,
     track_frame,
     track_sequence,
+    track_sequences_batched,
 )
 from .types import (
     CameraRig,
@@ -28,6 +29,7 @@ __all__ = [
     "sequence_landmarks",
     "track_frame",
     "track_sequence",
+    "track_sequences_batched",
     "CameraRig",
     "CropSet",
     "FrameObservation",

@@ -72,12 +72,17 @@ def _warp_crops(
 
 def _frame_inputs_from_crops(
     crop_set: CropSet,
-    crop_images: jnp.ndarray,  # [2, V, h, w]
+    crop_images: jnp.ndarray,  # [B, V, h, w]
     state: TrackState,
     enable_memory: bool,
+    hand_idx: jnp.ndarray | None = None,
 ) -> FrameInputs:
     """Assemble dense model inputs; invalid view slots inherit view-0
-    geometry so every lane stays finite and orthonormal."""
+    geometry so every lane stays finite and orthonormal.
+
+    ``hand_idx`` defaults to (0, 1) for the single-frame 2-hand layout; the
+    batched multi-sequence path passes a tiled pattern.
+    """
     extr_mm = affine.rigid_inverse(crop_set.T_world_from_eye)
     extr_m = extr_mm.at[..., :3, 3].multiply(MM_TO_M)
 
@@ -89,12 +94,14 @@ def _frame_inputs_from_crops(
     if not enable_memory:
         use_memory = jnp.zeros_like(use_memory)
 
+    if hand_idx is None:
+        hand_idx = jnp.arange(2, dtype=jnp.int32)
     return FrameInputs(
         images=crop_images,
         intrinsics=intr,
         extrinsics=extr_m,
         n_views=jnp.maximum(crop_set.n_views, 1),
-        hand_idx=jnp.arange(2, dtype=jnp.int32),
+        hand_idx=hand_idx,
         use_memory=use_memory,
     )
 
@@ -185,6 +192,88 @@ def track_frame(
     )
 
 
+def _prepare_sequence(
+    config: TrackerConfig,
+    rig: CameraRig,
+    seq: FrameObservation,  # leading T axis
+    hand_model_mm: HandModel,
+    min_num_crops: int,
+) -> Tuple[CropSet, jnp.ndarray]:
+    """Carry-independent per-frame work, vmapped over the whole sequence.
+
+    Crop-camera generation (skinning, visibility, look-at fits) and the
+    fisheye->pinhole warps don't depend on the RNN state, so instead of
+    serializing them inside the scan they run for all T frames in parallel —
+    this is where the tracker's wall-clock went (the per-step work is far
+    too small to fill the chip; T-way batching fixes the utilization).
+    """
+
+    def per_frame(obs: FrameObservation):
+        crop_set = gen_crop_set(
+            rig, obs.T_world_from_camera, hand_model_mm,
+            obs.gt_joint_angles, obs.gt_wrist_xfs, obs.gt_confidences,
+            config, min_num_crops,
+        )
+        crop_images = _warp_crops(
+            rig, obs.images, obs.T_world_from_camera, crop_set,
+            config.crop_size,
+        )
+        return crop_set, crop_images
+
+    return jax.vmap(per_frame)(seq)
+
+
+def _model_scan(
+    model: UmeTrackNet,
+    config: TrackerConfig,
+    variables,
+    crop_sets: CropSet,  # leaves [T, ...]
+    crop_images: jnp.ndarray,  # [T, 2, V, h, w]
+    init_state: TrackState,
+    skeleton: SkeletonInputs | None,
+) -> Tuple[FrameResult, TrackState]:
+    """Scan only the stateful part (conv-RNN forward + decode) over time."""
+
+    def body(state: TrackState, xs):
+        crop_set, images = xs
+        frame = _frame_inputs_from_crops(
+            crop_set, images, state, config.enable_memory
+        )
+        if skeleton is not None:
+            out, new_temporal = model.apply(
+                variables, frame, skeleton, state.temporal,
+                method=UmeTrackNet.known_skeleton,
+            )
+        else:
+            out, new_temporal = model.apply(
+                variables, frame, state.temporal,
+                method=UmeTrackNet.predict_scale,
+            )
+        wrist_mm = out.wrist_xfs.at[..., :3, 3].multiply(M_TO_MM)
+        result = FrameResult(
+            joint_angles=out.joint_angles,
+            wrist_xfs=wrist_mm,
+            valid=crop_set.hand_valid,
+            n_views=crop_set.n_views,
+            predicted_scales=out.skel_scales,
+        )
+        new_state = TrackState(
+            temporal=new_temporal, valid_history=crop_set.hand_valid
+        )
+        return new_state, result
+
+    final_state, results = jax.lax.scan(body, init_state, (crop_sets, crop_images))
+    return results, final_state
+
+
+def _skeleton_inputs(hand_model_mm: HandModel) -> SkeletonInputs:
+    hand_model_m = scaled_hand_model(hand_model_mm, MM_TO_M)
+    return SkeletonInputs(
+        joint_rotation_axes=hand_model_m.joint_rotation_axes[None],
+        joint_rest_positions=hand_model_m.joint_rest_positions[None],
+    )
+
+
 @partial(jax.jit, static_argnames=("model", "config", "min_num_crops"))
 def track_sequence(
     model: UmeTrackNet,
@@ -197,16 +286,91 @@ def track_sequence(
     min_num_crops: int = 1,
     skel_hand_model_mm: HandModel = None,
 ) -> Tuple[FrameResult, TrackState]:
-    """Known-skeleton tracking over a whole sequence via lax.scan."""
+    """Known-skeleton tracking over a whole sequence: parallel per-frame
+    prep (crops + warps) followed by a scan of the recurrent model only."""
+    crop_sets, crop_images = _prepare_sequence(
+        config, rig, seq, hand_model_mm, min_num_crops
+    )
+    skel_src = hand_model_mm if skel_hand_model_mm is None else skel_hand_model_mm
+    return _model_scan(
+        model, config, variables, crop_sets, crop_images, init_state,
+        _skeleton_inputs(skel_src),
+    )
 
-    def body(state, obs):
-        res, state = _track_step(
-            model, config, variables, rig, obs, state, hand_model_mm,
-            min_num_crops, known=True, skel_hand_model_mm=skel_hand_model_mm,
+
+@partial(jax.jit, static_argnames=("model", "config", "min_num_crops"))
+def track_sequences_batched(
+    model: UmeTrackNet,
+    config: TrackerConfig,
+    variables,
+    rigs: CameraRig,  # leaves [S, ...]
+    seqs: FrameObservation,  # leaves [S, T, ...] (sequence-major)
+    init_state: TrackState,  # leaves [2*S, ...] (flat hand rows)
+    hand_models_mm: HandModel,  # leaves [S, ...]
+    min_num_crops: int = 1,
+    skel_hand_models_mm: HandModel = None,
+) -> Tuple[FrameResult, TrackState]:
+    """Track S sequences in lock-step.
+
+    Per-frame prep (crops + warps) is vmapped over (S, T) — fully parallel —
+    and the recurrent scan runs with the S sequences *merged into the model
+    batch* (2S hand rows through one backbone call), which is what actually
+    fills the MXU.  Scale-out shards S over the mesh's ``data`` axis; the
+    recurrence stays inside each lane (SURVEY §2.3: never split a sequence's
+    time axis).  Results come back as [T, S, 2, ...].
+    """
+    s = rigs.fx.shape[0]
+
+    crop_sets, crop_images = jax.vmap(
+        lambda rig, seq, hm: _prepare_sequence(config, rig, seq, hm, min_num_crops)
+    )(rigs, seqs, hand_models_mm)  # leaves [S, T, 2, ...]
+
+    # [S, T, 2, ...] -> [T, 2S, ...]
+    def to_scan(a):
+        a = jnp.moveaxis(a, 1, 0)  # [T, S, 2, ...]
+        return a.reshape(a.shape[0], s * 2, *a.shape[3:])
+
+    crop_sets_t = jax.tree_util.tree_map(to_scan, crop_sets)
+    crop_images_t = to_scan(crop_images)
+
+    skel_src = hand_models_mm if skel_hand_models_mm is None else skel_hand_models_mm
+    hand_m = scaled_hand_model(skel_src, MM_TO_M)
+    skeleton = SkeletonInputs(
+        joint_rotation_axes=jnp.repeat(hand_m.joint_rotation_axes, 2, axis=0),
+        joint_rest_positions=jnp.repeat(hand_m.joint_rest_positions, 2, axis=0),
+    )
+
+    hand_idx = jnp.tile(jnp.arange(2, dtype=jnp.int32), s)
+
+    def body(state: TrackState, xs):
+        crop_set, images = xs
+        frame = _frame_inputs_from_crops(
+            crop_set, images, state, config.enable_memory, hand_idx=hand_idx
         )
-        return state, res
+        out, new_temporal = model.apply(
+            variables, frame, skeleton, state.temporal,
+            method=UmeTrackNet.known_skeleton,
+        )
+        wrist_mm = out.wrist_xfs.at[..., :3, 3].multiply(M_TO_MM)
+        result = FrameResult(
+            joint_angles=out.joint_angles,
+            wrist_xfs=wrist_mm,
+            valid=crop_set.hand_valid,
+            n_views=crop_set.n_views,
+            predicted_scales=out.skel_scales,
+        )
+        new_state = TrackState(
+            temporal=new_temporal, valid_history=crop_set.hand_valid
+        )
+        return new_state, result
 
-    final_state, results = jax.lax.scan(body, init_state, seq)
+    final_state, results = jax.lax.scan(
+        body, init_state, (crop_sets_t, crop_images_t)
+    )
+    # [T, 2S, ...] -> [T, S, 2, ...]
+    results = jax.tree_util.tree_map(
+        lambda a: a.reshape(a.shape[0], s, 2, *a.shape[2:]), results
+    )
     return results, final_state
 
 
@@ -227,15 +391,12 @@ def calibrate_sequence(
     per-frame skeleton scales on 2-view frames and average the first
     ``n_calibration_samples`` valid ones (0 = use all).  Returns the mean
     scale (scalar)."""
-
-    def body(state, obs):
-        res, state = _track_step(
-            model, config, variables, rig, obs, state, hand_model_mm, 2,
-            known=False,
-        )
-        return state, (res.predicted_scales, res.valid)
-
-    _, (scales, valid) = jax.lax.scan(body, init_state, seq)
+    crop_sets, crop_images = _prepare_sequence(config, rig, seq, hand_model_mm, 2)
+    results, _ = _model_scan(
+        model, config, variables, crop_sets, crop_images, init_state,
+        skeleton=None,
+    )
+    scales, valid = results.predicted_scales, results.valid
     # Frame-major, hand 0 before hand 1 — the reference's append order.
     flat_scales = scales.reshape(-1)
     flat_valid = valid.reshape(-1)
