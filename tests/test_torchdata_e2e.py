@@ -6,7 +6,7 @@ import pytest
 import jax
 
 import synthetic  # noqa: F401  (path setup)
-from test_transform import make_torchdata_sample
+from umetrack_tpu.utils.synthetic import make_torchdata_sample
 from umetrack_tpu.data import Split, write_idxbin
 from umetrack_tpu.models import make_model
 

@@ -1,0 +1,217 @@
+"""Training driver (greenfield — the reference ships no training code).
+
+Trains the UmeTrack model on torch_data-format sequences: the host loader
+parses idx/bin bytes, preprocessing (crops + resample) runs on device, and
+single-frame supervised batches drive the pjit'ed train step on a
+(data, model) mesh.  ``--synthetic`` trains on generated data so the loop is
+exercisable without UmeTrack_data; the pretrained reference weights are not
+distributed, so training/distillation is also the route to accuracy parity.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config, from_json, to_json
+from ..data import Sampler, Split, bundles, find_dataset, iterate_dataset
+from ..data.transform import parse_raw_buffers, preprocess_sequence
+from ..models import init_model
+from ..models.umetrack import FrameInputs, SkeletonInputs
+from ..parallel import (
+    LossWeights,
+    TrainBatch,
+    create_train_state,
+    make_mesh,
+    shard_batch,
+    shard_variables,
+    train_step,
+)
+from ..utils.checkpoints import save_checkpoint
+
+logger = logging.getLogger(__name__)
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("crop_size",))
+def _build_train_batch(raw_batch, crop_size) -> TrainBatch:
+    model_input, target = jax.vmap(
+        lambda r: preprocess_sequence(r, crop_size)
+    )(raw_batch)
+    b, t = model_input.left_images.shape[:2]
+    # frame t//2 of each sequence (deterministic; the loader shuffles seqs)
+    ti = t // 2
+    frame = FrameInputs(
+        images=model_input.left_images[:, ti],
+        intrinsics=model_input.intrinsics[:, ti],
+        extrinsics=model_input.extrinsics_xf[:, ti],
+        n_views=jnp.full((b,), model_input.left_images.shape[2], jnp.int32),
+        hand_idx=model_input.hand_idx[:, ti].astype(jnp.int32),
+        use_memory=jnp.zeros((b,), bool),
+    )
+    hand = model_input.orig_pose_data.left_hand_model
+    skeleton = SkeletonInputs(
+        joint_rotation_axes=hand.joint_rotation_axes,
+        joint_rest_positions=hand.joint_rest_positions,
+    )
+    return TrainBatch(
+        frame=frame,
+        skeleton=skeleton,
+        gt_joint_angles=target.gt_joint_angles[:, ti],
+        gt_wrist_world=target.gt_wrist_xfs[:, ti],
+        hand=hand,
+        gt_scales=None if target.gt_scale is None else target.gt_scale,
+    )
+
+
+def _batch_from_sequences(items, crop_size) -> TrainBatch:
+    """Preprocess a list of raw sequences on device and take one frame per
+    sequence as a supervised sample."""
+    raws = [parse_raw_buffers(it["mono"], it["labels"]) for it in items]
+    raw_batch = bundles.collate([jax.device_get(r) for r in raws])
+    return _build_train_batch(raw_batch, tuple(crop_size))
+
+
+def synthetic_batches(batch_size: int, crop_size) -> Iterator[TrainBatch]:
+    from ..utils.synthetic import make_torchdata_sample
+
+    seed = 0
+    while True:
+        items = []
+        for _ in range(batch_size):
+            mono, labels = make_torchdata_sample(
+                rng_seed=seed % 50, t=1, hand_idx=seed % 2
+            )
+            items.append({"mono": mono, "labels": labels})
+            seed += 1
+        yield _batch_from_sequences(items, crop_size)
+
+
+def dataset_batches(cfg: Config) -> Iterator[TrainBatch]:
+    datasets = find_dataset(list(cfg.data.data_roots), list(cfg.data.fields))
+    dataset = datasets[Split.TRAIN]
+    logger.info("training sequences: %d", len(dataset))
+    epoch = 0
+    while True:
+        sampler = Sampler(
+            len(dataset), shuffle=True, seed=cfg.data.shuffle_seed + epoch,
+            distrib_info=(cfg.mesh.rank, cfg.mesh.world_size),
+        )
+        batch = []
+        for item in iterate_dataset(
+            dataset, sampler, num_threads=cfg.data.num_io_threads,
+            max_prefetch=cfg.data.max_prefetch,
+        ):
+            batch.append(item)
+            if len(batch) == cfg.train.batch_size:
+                yield _batch_from_sequences(batch, cfg.data.crop_size)
+                batch = []
+        epoch += 1
+
+
+def run_training(cfg: Config, batches: Iterator[TrainBatch], num_steps=None):
+    model, variables = init_model(jax.random.PRNGKey(0), cfg.model)
+    mesh = make_mesh(model_axis=cfg.mesh.model_axis)
+    logger.info("mesh: %s", dict(mesh.shape))
+    variables = shard_variables(variables, mesh)
+
+    optimizer = optax.adamw(
+        cfg.train.learning_rate, weight_decay=cfg.train.weight_decay
+    )
+    ts = create_train_state(variables, optimizer)
+    weights = LossWeights(
+        angles=cfg.train.loss_angles,
+        wrist_points=cfg.train.loss_wrist_points,
+        landmark_nll=cfg.train.loss_landmark_nll,
+        scale=cfg.train.loss_scale,
+    )
+    del weights  # LossWeights currently fixed inside loss_fn defaults
+
+    num_steps = num_steps or cfg.train.num_steps
+    t0 = time.time()
+    history = []
+    for step in range(num_steps):
+        batch = shard_batch(next(batches), mesh)
+        ts, metrics = train_step(model, optimizer, ts, batch)
+        if step % cfg.train.log_every == 0 or step == num_steps - 1:
+            loss = float(metrics["loss"])
+            history.append(loss)
+            rate = (step + 1) / (time.time() - t0)
+            logger.info(
+                "step %d: loss=%.5f angles=%.5f points=%.5f nll=%.4f "
+                "(%.2f steps/s)",
+                step, loss, float(metrics["angle_loss"]),
+                float(metrics["point_loss"]), float(metrics["landmark_nll"]),
+                rate,
+            )
+        if (
+            cfg.train.checkpoint_dir
+            and step > 0
+            and step % cfg.train.checkpoint_every == 0
+        ):
+            path = save_checkpoint(
+                f"{cfg.train.checkpoint_dir}/step_{step:07d}",
+                {"params": ts.params, "batch_stats": ts.batch_stats},
+            )
+            logger.info("saved checkpoint %s", path)
+
+    if cfg.train.checkpoint_dir:
+        path = save_checkpoint(
+            f"{cfg.train.checkpoint_dir}/final",
+            {"params": ts.params, "batch_stats": ts.batch_stats},
+        )
+        logger.info("saved final checkpoint %s", path)
+    return ts, history
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", default=None, help="JSON config file")
+    parser.add_argument("--data", nargs="*", default=None)
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--steps", type=int, default=None)
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--checkpoint-dir", default=None)
+    parser.add_argument("--print-config", action="store_true")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    cfg = from_json(args.config) if args.config else Config()
+    if args.data:
+        cfg = Config(
+            model=cfg.model, tracker=cfg.tracker,
+            data=cfg.data.__class__(**{**cfg.data.__dict__, "data_roots": tuple(args.data)}),
+            mesh=cfg.mesh, train=cfg.train,
+        )
+    if args.batch_size or args.checkpoint_dir or args.steps:
+        tr = {**cfg.train.__dict__}
+        if args.batch_size:
+            tr["batch_size"] = args.batch_size
+        if args.checkpoint_dir:
+            tr["checkpoint_dir"] = args.checkpoint_dir
+        if args.steps:
+            tr["num_steps"] = args.steps
+        cfg = Config(model=cfg.model, tracker=cfg.tracker, data=cfg.data,
+                     mesh=cfg.mesh, train=cfg.train.__class__(**tr))
+    if args.print_config:
+        print(to_json(cfg))
+        return
+
+    if args.synthetic:
+        batches = synthetic_batches(cfg.train.batch_size, cfg.data.crop_size)
+    else:
+        assert cfg.data.data_roots, "--data or config data_roots required"
+        batches = dataset_batches(cfg)
+    run_training(cfg, batches)
+
+
+if __name__ == "__main__":
+    main()

@@ -187,3 +187,54 @@ def our_sequence(labels, images):
     )
     hand = from_dict(labels["hand_model"])
     return rig, seq, hand
+
+
+def make_torchdata_sample(rng_seed=0, t=3, v=2, h=120, w=160, hand_idx=1):
+    """Synthetic raw torch_data sample in the reference msgpack schema
+    (pinhole views looking at a hand-sized blob near the origin, mm units)."""
+    rng = np.random.default_rng(rng_seed)
+    hand_dict = make_labels_dict(1, rng_seed)[0]["hand_model"]
+
+    cam_poses = make_camera_poses()[:v]  # [V, 4, 4] mm
+    extr = np.stack(
+        [np.linalg.inv(p).astype(np.float32) for p in cam_poses]
+    )  # world->eye
+    extr = np.tile(extr, (t, 1, 1, 1))
+
+    intr = np.tile(np.eye(3, dtype=np.float32), (t, v, 1, 1))
+    intr[..., 0, 0] = intr[..., 1, 1] = 200.0
+    intr[..., 0, 2] = (w - 1) / 2
+    intr[..., 1, 2] = (h - 1) / 2
+
+    enclosing = rng.uniform(-80, 80, size=(t, 63, 3)).astype(np.float32)
+
+    angles = rng.uniform(-0.5, 0.5, size=(t, 22)).astype(np.float32)
+    solved_angles = angles + rng.normal(0, 0.05, size=(t, 22)).astype(np.float32)
+    wrist = np.tile(np.eye(4, dtype=np.float32), (t, 1, 1))
+    wrist[:, :3, 3] = rng.uniform(-50, 50, size=(t, 3))
+    solved_wrist = wrist.copy()
+
+    import cv2
+
+    base = rng.uniform(0, 255, size=(t * v, 12, 16)).astype(np.float32)
+    mono = np.stack(
+        [
+            cv2.resize(b, (w, h), interpolation=cv2.INTER_CUBIC).clip(0, 255)
+            for b in base
+        ]
+    ).astype(np.uint8).reshape(t, v, h, w)
+
+    labels = {
+        "extrinsics": extr.tolist(),
+        "intrinsics": intr.tolist(),
+        "enclosing_points": enclosing.tolist(),
+        "hand": [float(hand_idx)] * t,
+        "hand_model": hand_dict,
+        "wrist": wrist.tolist(),
+        "joint_angles": angles.tolist(),
+        "solved_wrist_xfs": solved_wrist.tolist(),
+        "solved_joint_angles": solved_angles.tolist(),
+        "generic_hand_model": hand_dict,
+        "pinch": [0.0] * t,
+    }
+    return mono, labels
