@@ -166,3 +166,39 @@ class TestDiscovery:
         write_idxbin(str(tmp_path / "b"), np.zeros((3, 3), np.float32))
         with pytest.raises(AssertionError):
             FolderDataset(str(tmp_path), ["a", "b"])
+
+
+class TestMapAndSubsample:
+    def test_map_dataset_preserves_len_and_index(self):
+        from umetrack_tpu.data.dataset import map_dataset
+
+        ds = map_dataset(lambda x: x * 2, list(range(10)))
+        assert len(ds) == 10
+        assert ds[3] == 6
+
+    def test_subsample(self):
+        from umetrack_tpu.data.dataset import subsample
+
+        ds = subsample(list(range(100)), num=10)
+        assert len(ds) == 10
+        vals = [ds[i] for i in range(10)]
+        assert vals[0] == 0 and vals[-1] == 99
+        assert vals == sorted(vals)
+
+        ds2 = subsample(list(range(100)), portion=0.5)
+        assert len(ds2) == 50
+
+
+def test_profiling_utils():
+    import time as _t
+
+    from umetrack_tpu.utils.profiling import PhaseTimers
+
+    timers = PhaseTimers()
+    with timers.phase("warp", items=100):
+        _t.sleep(0.01)
+    with timers.phase("warp", items=100):
+        _t.sleep(0.01)
+    rep = timers.report()
+    assert "warp" in rep and "2 calls" in rep
+    assert timers.items["warp"] == 200

@@ -96,6 +96,48 @@ def subsample_indices(n: int, num: int, seed: int = 0) -> np.ndarray:
     return np.linspace(0, n - 1, num).round().astype(np.int64)
 
 
+class MappedDataset:
+    """Lazy item-wise map preserving length/indexing (reference
+    dataset_util.map_dataset, dataset_util.py:37-156)."""
+
+    def __init__(self, fn: Callable, dataset):
+        self.fn = fn
+        self.dataset = dataset
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def __getitem__(self, i: int):
+        return self.fn(self.dataset[i])
+
+
+def map_dataset(fn: Callable, dataset) -> MappedDataset:
+    return MappedDataset(fn, dataset)
+
+
+def subsample(dataset, num: Optional[int] = None, portion: Optional[float] = None):
+    """Evenly-spread subset view of a dataset (reference subsample,
+    async_dataset.py:416-455)."""
+    n = len(dataset)
+    if num is None:
+        assert portion is not None and 0 < portion <= 1
+        num = max(1, int(round(n * portion)))
+    idx = subsample_indices(n, num)
+    return MappedDataset(lambda x: x, _IndexView(dataset, idx))
+
+
+class _IndexView:
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = indices
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[int(self.indices[i])]
+
+
 @dataclasses.dataclass
 class Sampler:
     """Distributed/worker-aware index sharding (async_dataset.py:458-606).

@@ -1,4 +1,5 @@
-from . import resample
+from . import pallas_resample, resample
+from .pallas_resample import pallas_bilinear_sample
 from .resample import (
     bilinear_sample,
     fisheye_to_pinhole_coords,
@@ -7,6 +8,8 @@ from .resample import (
 )
 
 __all__ = [
+    "pallas_resample",
+    "pallas_bilinear_sample",
     "resample",
     "bilinear_sample",
     "fisheye_to_pinhole_coords",

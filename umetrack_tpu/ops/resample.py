@@ -18,42 +18,36 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry import affine
 from ..geometry.cameras import Fisheye62Camera, fisheye62_distort, arctan_project
 
 
-def bilinear_sample(
-    image: jnp.ndarray,  # [H, W]
-    coords: jnp.ndarray,  # [..., 2] (x, y) source pixel coords
-) -> jnp.ndarray:  # [...]
-    """Bilinear sampling with zero outside ``[0, W-2] x [0, H-2]``.
-
-    Matches the reference resampler's out-of-bounds rule
-    (data_transform.py:104-109): a sample is valid only when its floor cell
-    has all four neighbors inside the image; invalid samples return 0.
-    """
-    h, w = image.shape
+def _sample_prep(image_shape, coords):
+    """Shared validity mask, integer cells and lerp weights."""
+    h, w = image_shape
     x = coords[..., 0]
     y = coords[..., 1]
     valid = (x >= 0) & (x < w - 1) & (y >= 0) & (y < h - 1)
-
     x = jnp.clip(x, 0.0, w - 2)
     y = jnp.clip(y, 0.0, h - 2)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
+    return valid, x0, y0, x - x0, y - y0
+
+
+def _bilinear_gather2d(image, coords):
+    """Four 2-D advanced-index gathers (straightforward XLA gather)."""
+    valid, x0, y0, wx, wy = _sample_prep(image.shape, coords)
     x1 = x0 + 1
     y1 = y0 + 1
-
-    wx = x - x0
-    wy = y - y0
-
     f00 = image[y0, x0]
     f01 = image[y1, x0]
     f10 = image[y0, x1]
     f11 = image[y1, x1]
-
     out = (
         f00 * (1 - wx) * (1 - wy)
         + f10 * wx * (1 - wy)
@@ -61,6 +55,87 @@ def bilinear_sample(
         + f11 * wx * wy
     )
     return jnp.where(valid, out, 0.0)
+
+
+def _bilinear_gather1d(image, coords):
+    """Flattened linear-index take (XLA's preferred 1-D gather form)."""
+    h, w = image.shape
+    valid, x0, y0, wx, wy = _sample_prep(image.shape, coords)
+    flat = image.reshape(-1)
+    base = y0 * w + x0
+    f00 = jnp.take(flat, base, mode="clip")
+    f10 = jnp.take(flat, base + 1, mode="clip")
+    f01 = jnp.take(flat, base + w, mode="clip")
+    f11 = jnp.take(flat, base + w + 1, mode="clip")
+    out = (
+        f00 * (1 - wx) * (1 - wy)
+        + f10 * wx * (1 - wy)
+        + f01 * (1 - wx) * wy
+        + f11 * wx * wy
+    )
+    return jnp.where(valid, out, 0.0)
+
+
+def _bilinear_matmul(image, coords):
+    """Gather-as-matmul: ride the MXU instead of the gather unit.
+
+    Row pick via one-hot [P, H] @ image [H, W] (bf16 inputs, f32
+    accumulation — exact for uint8-range pixels), row-lerp, then column pick
+    via a masked reduction.  O(P * H * W) FLOPs but they are MXU FLOPs,
+    which on TPU can beat serialized per-element gathers by a wide margin.
+    """
+    h, w = image.shape
+    valid, x0, y0, wx, wy = _sample_prep(image.shape, coords)
+    batch_shape = coords.shape[:-1]
+    p = int(np.prod(batch_shape))
+    x0f = x0.reshape(p)
+    y0f = y0.reshape(p)
+    wxf = wx.reshape(p)
+    wyf = wy.reshape(p)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (p, h), 1)
+    oh_y0 = (rows == y0f[:, None]).astype(jnp.bfloat16)
+    oh_y1 = (rows == (y0f[:, None] + 1)).astype(jnp.bfloat16)
+    img_bf = image.astype(jnp.bfloat16)
+    r0 = jnp.dot(oh_y0, img_bf, preferred_element_type=jnp.float32)
+    r1 = jnp.dot(oh_y1, img_bf, preferred_element_type=jnp.float32)
+    r = r0 * (1 - wyf)[:, None] + r1 * wyf[:, None]  # [P, W]
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (p, w), 1)
+    m0 = (cols == x0f[:, None]).astype(r.dtype)
+    m1 = (cols == (x0f[:, None] + 1)).astype(r.dtype)
+    c0 = jnp.sum(r * m0, axis=-1)
+    c1 = jnp.sum(r * m1, axis=-1)
+    out = (c0 * (1 - wxf) + c1 * wxf).reshape(batch_shape)
+    return jnp.where(valid, out, 0.0)
+
+
+_SAMPLERS = {
+    "gather2d": _bilinear_gather2d,
+    "gather1d": _bilinear_gather1d,
+    "matmul": _bilinear_matmul,
+}
+
+# Default sampler; override with UMETRACK_BILINEAR={gather2d,gather1d,matmul}
+import os as _os
+
+_DEFAULT_SAMPLER = _os.environ.get("UMETRACK_BILINEAR", "gather1d")
+
+
+def bilinear_sample(
+    image: jnp.ndarray,  # [H, W]
+    coords: jnp.ndarray,  # [..., 2] (x, y) source pixel coords
+    method: str | None = None,
+) -> jnp.ndarray:  # [...]
+    """Bilinear sampling with zero outside ``[0, W-2] x [0, H-2]``.
+
+    Matches the reference resampler's out-of-bounds rule
+    (data_transform.py:104-109): a sample is valid only when its floor cell
+    has all four neighbors inside the image; invalid samples return 0.
+    Three equivalent implementations are selectable (see _SAMPLERS).
+    """
+    fn = _SAMPLERS[method or _DEFAULT_SAMPLER]
+    return fn(image, coords)
 
 
 def _dst_grid(height: int, width: int, dtype=jnp.float32):

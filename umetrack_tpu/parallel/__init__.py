@@ -1,4 +1,4 @@
-from . import mesh, train
+from . import distributed, eval, mesh, train
 from .mesh import make_mesh, shard_batch, shard_variables
 from .train import (
     LossWeights,
@@ -11,6 +11,8 @@ from .train import (
 )
 
 __all__ = [
+    "distributed",
+    "eval",
     "mesh",
     "train",
     "make_mesh",
