@@ -74,3 +74,42 @@ def test_app_vs_reference(reference, torch_model, flax_variables, torchdata_tree
 
     np.testing.assert_allclose(our_err, ref_err, atol=1.0)  # mm
     np.testing.assert_allclose(results[Split.TEST], ref_err.mean(), atol=1.0)
+
+
+def test_singlev_mode_vs_reference(reference, torch_model, flax_variables, torchdata_tree):
+    import torch
+    import importlib.util
+    from lib.batched_dataset.data_transform import preprocess as ref_preprocess
+    from lib.data_utils import bundles as ref_bundles
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_run_inference2", "/root/reference/run_inference_torch_data.py"
+    )
+    ref_run = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_run)
+
+    root, items = torchdata_tree
+    ref_samples = [
+        ref_preprocess({"mono": m.copy(), "labels": l}, crop_size=(96, 96))
+        for m, l in items
+    ]
+    model_input_ref = ref_bundles.collate([s[0] for s in ref_samples])
+    model_target_ref = ref_bundles.collate([s[1] for s in ref_samples])
+    torch_model._temporal._mem_features = torch.empty(0)
+    torch_model._temporal._prev_extrinsics = torch.empty(0)
+    with torch.no_grad():
+        ref_err = ref_run._eval_batch(
+            torch_model, model_input_ref, model_target_ref,
+            "singlev", use_skel=True, device="cpu",
+        ).numpy()
+
+    from umetrack_tpu.apps.run_inference_torch_data import _run_batch
+    from umetrack_tpu.data import find_dataset
+    from umetrack_tpu.models import make_model
+
+    ds = find_dataset([str(root)], ["mono", "labels"])[Split.TEST]
+    batch_items = [ds[i] for i in range(len(ds))]
+    our_err = _run_batch(
+        make_model(), flax_variables, batch_items, (96, 96), n_views=1
+    )
+    np.testing.assert_allclose(our_err, ref_err, atol=1.0)

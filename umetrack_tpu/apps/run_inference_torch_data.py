@@ -40,16 +40,21 @@ from ..models.umetrack import (
 logger = logging.getLogger(__name__)
 
 
-@partial(jax.jit, static_argnames=("model",))
+@partial(jax.jit, static_argnames=("model", "n_views"))
 def eval_batch(
     model: UmeTrackNet,
     variables,
     model_input: ModelInput,  # leaves batched [B, T, ...]
     gt_joint_angles: jnp.ndarray,  # [B, T, 22]
     gt_wrist_xfs: jnp.ndarray,  # [B, T, 4, 4] meters
+    n_views: int = 2,
 ) -> jnp.ndarray:
     """Per-sample mean keypoint error (mm) for a batch of sequences
-    (reference _eval_batch, run_inference_torch_data.py:88-135)."""
+    (reference _eval_batch, run_inference_torch_data.py:88-135).
+
+    ``n_views=1`` reproduces the reference's "singlev" mode: only view 0 of
+    each sample feeds the model.
+    """
     b, t = model_input.left_images.shape[:2]
 
     skeleton = SkeletonInputs(
@@ -59,11 +64,17 @@ def eval_batch(
 
     def step(state, xs):
         images, intr, extr, first = xs
+        if n_views == 1:
+            # zero the unused view; geometry copies view 0 (finite masks)
+            images = images.at[:, 1:].set(0.0)
+            extr = jnp.concatenate(
+                [extr[:, :1]] * extr.shape[1], axis=1
+            )
         frame = FrameInputs(
             images=images,
             intrinsics=intr,
             extrinsics=extr,
-            n_views=jnp.full((b,), images.shape[1], jnp.int32),
+            n_views=jnp.full((b,), n_views, jnp.int32),
             hand_idx=model_input.hand_idx[:, 0].astype(jnp.int32),
             use_memory=jnp.broadcast_to(~first, (b,)),
         )
@@ -110,6 +121,7 @@ def run(
     max_prefetch: int = 16,
     splits=(Split.TEST,),
     limit_batches: Optional[int] = None,
+    n_views: int = 2,
 ):
     """Returns {split: mean keypoint error mm}."""
     datasets = find_dataset(data_roots, ["mono", "labels"])
@@ -135,13 +147,17 @@ def run(
             batch.append(item)
             if len(batch) < batch_size:
                 continue
-            errors.append(_run_batch(model, variables, batch, crop_size))
+            errors.append(
+                _run_batch(model, variables, batch, crop_size, n_views)
+            )
             batch = []
             n_batches += 1
             if limit_batches and n_batches >= limit_batches:
                 break
         if batch and not (limit_batches and n_batches >= limit_batches):
-            errors.append(_run_batch(model, variables, batch, crop_size))
+            errors.append(
+                _run_batch(model, variables, batch, crop_size, n_views)
+            )
         if errors:
             all_err = np.concatenate(errors)
             results[split] = float(all_err.mean())
@@ -153,8 +169,8 @@ def run(
     return results
 
 
-@partial(jax.jit, static_argnames=("model", "crop_size"))
-def _preprocess_and_eval(model, variables, raw_batch, crop_size):
+@partial(jax.jit, static_argnames=("model", "crop_size", "n_views"))
+def _preprocess_and_eval(model, variables, raw_batch, crop_size, n_views=2):
     from ..data.transform import preprocess_sequence
 
     model_input, target = jax.vmap(
@@ -162,16 +178,18 @@ def _preprocess_and_eval(model, variables, raw_batch, crop_size):
     )(raw_batch)
     return eval_batch(
         model, variables, model_input,
-        target.gt_joint_angles, target.gt_wrist_xfs,
+        target.gt_joint_angles, target.gt_wrist_xfs, n_views,
     )
 
 
-def _run_batch(model, variables, items, crop_size):
+def _run_batch(model, variables, items, crop_size, n_views=2):
     from ..data.transform import parse_raw_buffers
 
     raws = [parse_raw_buffers(it["mono"], it["labels"]) for it in items]
     raw_batch = bundles.collate([jax.device_get(r) for r in raws])
-    err = _preprocess_and_eval(model, variables, raw_batch, tuple(crop_size))
+    err = _preprocess_and_eval(
+        model, variables, raw_batch, tuple(crop_size), n_views
+    )
     return np.asarray(err)
 
 
@@ -189,6 +207,8 @@ def main(argv=None):
     parser.add_argument("--rank", type=int, default=0)
     parser.add_argument("--world-size", type=int, default=1)
     parser.add_argument("--limit-batches", type=int, default=None)
+    parser.add_argument("--mode", choices=["multiv", "singlev"],
+                        default="multiv")
     parser.add_argument("--json", action="store_true", help="print JSON result")
     args = parser.parse_args(argv)
 
@@ -205,6 +225,7 @@ def main(argv=None):
         batch_size=args.batch_size,
         distrib_info=(args.rank, args.world_size),
         limit_batches=args.limit_batches,
+        n_views=1 if args.mode == "singlev" else 2,
     )
     out = {s.value: v for s, v in results.items()}
     if args.json:
