@@ -163,7 +163,10 @@ class PoseRegressor(nn.Module):
                 dtype=self.dtype, name=f"block{i}",
             )(x, train=train)
         x = nn.Conv(n_out, (1, 1), dtype=self.dtype, name="conv_out")(x)
-        pose_features = jnp.mean(x, axis=(1, 2))  # [B, n_out]
+        # Decode in f32 regardless of compute dtype: the Procrustes/exp/
+        # softplus decodes are precision-sensitive while the conv stack
+        # tolerates bf16.
+        pose_features = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
 
         b = pose_features.shape[0]
         r0, r1 = ranges["joint_angles"]
