@@ -89,7 +89,7 @@ def eval_batch(
         jnp.moveaxis(model_input.extrinsics_xf, 0, 1),
         jnp.arange(t) == 0,
     )
-    state = TemporalState.zeros(b, model.config, model_input.left_images.dtype)
+    state = TemporalState.zeros(b, model.config)
     _, (angles_t, wrists_t) = jax.lax.scan(step, state, xs)
     pred_angles = jnp.moveaxis(angles_t, 0, 1)  # [B, T, 22]
     pred_wrists = jnp.moveaxis(wrists_t, 0, 1)  # [B, T, 4, 4]

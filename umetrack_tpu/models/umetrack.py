@@ -78,12 +78,18 @@ class TemporalState:
     prev_extrinsics: jnp.ndarray  # [B, 4, 4] previous crop-cam0 world->eye
 
     @staticmethod
-    def zeros(batch: int, config: ModelConfig, dtype=jnp.float32) -> "TemporalState":
+    def zeros(batch: int, config: ModelConfig, dtype=None) -> "TemporalState":
+        """Zero carry. ``mem_features`` lives in the model's compute dtype so
+        the scan carry type is stable under bfloat16; ``prev_extrinsics`` is a
+        rigid transform and stays float32 regardless (pose precision)."""
         h, w = config.feature_map_size
+        mem_dtype = jnp.dtype(dtype or config.compute_dtype)
         return TemporalState(
-            mem_features=jnp.zeros((batch, h, w, config.n_memory_channels), dtype),
+            mem_features=jnp.zeros(
+                (batch, h, w, config.n_memory_channels), mem_dtype
+            ),
             prev_extrinsics=jnp.broadcast_to(
-                jnp.eye(4, dtype=dtype), (batch, 4, 4)
+                jnp.eye(4, dtype=jnp.float32), (batch, 4, 4)
             ),
         )
 
@@ -198,7 +204,9 @@ class UmeTrackNet(nn.Module):
         """Motion-compensate memory, run the cell, emit new state
         (temporal.py:51-139)."""
         cfg = self.config
-        cur_e = frame.extrinsics[:, 0]  # crop-cam0 world->eye [B, 4, 4]
+        # Motion-compensation geometry always in f32 (a bf16 rigid inverse
+        # drifts the memory warp); the cell itself runs in compute dtype.
+        cur_e = frame.extrinsics[:, 0].astype(jnp.float32)
         use_mem = frame.use_memory
 
         eye = jnp.broadcast_to(jnp.eye(4, dtype=cur_e.dtype), cur_e.shape)

@@ -83,7 +83,7 @@ class TrackState:
     valid_history: jnp.ndarray  # [2] bool
 
     @staticmethod
-    def init(config, dtype=jnp.float32) -> "TrackState":
+    def init(config, dtype=None) -> "TrackState":
         return TrackState(
             temporal=TemporalState.zeros(2, config, dtype),
             valid_history=jnp.zeros((2,), dtype=bool),
