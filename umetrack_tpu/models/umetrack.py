@@ -78,12 +78,14 @@ class TemporalState:
     prev_extrinsics: jnp.ndarray  # [B, 4, 4] previous crop-cam0 world->eye
 
     @staticmethod
-    def zeros(batch: int, config: ModelConfig, dtype=None) -> "TemporalState":
+    def zeros(batch: int, config: ModelConfig) -> "TemporalState":
         """Zero carry. ``mem_features`` lives in the model's compute dtype so
-        the scan carry type is stable under bfloat16; ``prev_extrinsics`` is a
-        rigid transform and stays float32 regardless (pose precision)."""
+        the scan carry type is stable under bfloat16 (the cell always emits
+        mem_features in compute dtype — a different carry dtype would break
+        the scan); ``prev_extrinsics`` is a rigid transform and stays float32
+        regardless (pose precision)."""
         h, w = config.feature_map_size
-        mem_dtype = jnp.dtype(dtype or config.compute_dtype)
+        mem_dtype = jnp.dtype(config.compute_dtype)
         return TemporalState(
             mem_features=jnp.zeros(
                 (batch, h, w, config.n_memory_channels), mem_dtype
@@ -212,9 +214,12 @@ class UmeTrackNet(nn.Module):
         eye = jnp.broadcast_to(jnp.eye(4, dtype=cur_e.dtype), cur_e.shape)
         safe_prev = jnp.where(use_mem[:, None, None], state.prev_extrinsics, eye)
         prev_cam0_to_cur = cur_e @ affine.rigid_inverse(safe_prev)
+        # Warp math in f32, but activations back to compute dtype: the f32
+        # transform would otherwise promote mem_in and the concatenated
+        # temporal input, doubling activation bandwidth under bf16.
         compensated = apply_ftl(
             prev_cam0_to_cur, state.mem_features, cfg.temporal_ftl_ratio
-        )
+        ).astype(state.mem_features.dtype)
         mem_in = jnp.where(
             use_mem[:, None, None, None],
             compensated,

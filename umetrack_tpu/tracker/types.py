@@ -83,9 +83,9 @@ class TrackState:
     valid_history: jnp.ndarray  # [2] bool
 
     @staticmethod
-    def init(config, dtype=None) -> "TrackState":
+    def init(config) -> "TrackState":
         return TrackState(
-            temporal=TemporalState.zeros(2, config, dtype),
+            temporal=TemporalState.zeros(2, config),
             valid_history=jnp.zeros((2,), dtype=bool),
         )
 
