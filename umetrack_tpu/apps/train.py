@@ -26,11 +26,13 @@ from ..models import init_model
 from ..models.umetrack import FrameInputs, SkeletonInputs
 from ..parallel import (
     LossWeights,
+    TemporalTrainBatch,
     TrainBatch,
     create_train_state,
     make_mesh,
     shard_batch,
     shard_variables,
+    temporal_train_step,
     train_step,
 )
 from ..utils.checkpoints import save_checkpoint
@@ -72,15 +74,58 @@ def _build_train_batch(raw_batch, crop_size) -> TrainBatch:
     )
 
 
-def _batch_from_sequences(items, crop_size) -> TrainBatch:
-    """Preprocess a list of raw sequences on device and take one frame per
-    sequence as a supervised sample."""
+@partial(jax.jit, static_argnames=("crop_size", "window"))
+def _build_temporal_batch(raw_batch, crop_size, window) -> TemporalTrainBatch:
+    """K-frame supervised windows for TBPTT: the conv-RNN memory is trained
+    through time (use_memory False at k=0 then True), with real frame-to-
+    frame extrinsics motion so the FTL compensation is in the gradient path
+    (reference temporal.py:93-139)."""
+    model_input, target = jax.vmap(
+        lambda r: preprocess_sequence(r, crop_size)
+    )(raw_batch)
+    b, t = model_input.left_images.shape[:2]
+    k = min(window, t)
+    t0 = (t - k) // 2
+    v = model_input.left_images.shape[2]
+    use_memory = jnp.broadcast_to(
+        jnp.arange(k, dtype=jnp.int32) > 0, (b, k)
+    )
+    frames = FrameInputs(
+        images=model_input.left_images[:, t0:t0 + k],
+        intrinsics=model_input.intrinsics[:, t0:t0 + k],
+        extrinsics=model_input.extrinsics_xf[:, t0:t0 + k],
+        n_views=jnp.full((b, k), v, jnp.int32),
+        hand_idx=model_input.hand_idx[:, t0:t0 + k].astype(jnp.int32),
+        use_memory=use_memory,
+    )
+    hand = model_input.orig_pose_data.left_hand_model
+    skeleton = SkeletonInputs(
+        joint_rotation_axes=hand.joint_rotation_axes,
+        joint_rest_positions=hand.joint_rest_positions,
+    )
+    return TemporalTrainBatch(
+        frames=frames,
+        skeleton=skeleton,
+        gt_joint_angles=target.gt_joint_angles[:, t0:t0 + k],
+        gt_wrist_world=target.gt_wrist_xfs[:, t0:t0 + k],
+        hand=hand,
+        gt_scales=None if target.gt_scale is None else target.gt_scale,
+    )
+
+
+def _batch_from_sequences(items, crop_size, window: int = 1):
+    """Preprocess a list of raw sequences on device; one frame per sequence
+    when ``window`` is 1, else a K-frame TBPTT window per sequence."""
     raws = [parse_raw_buffers(it["mono"], it["labels"]) for it in items]
     raw_batch = bundles.collate([jax.device_get(r) for r in raws])
+    if window > 1:
+        return _build_temporal_batch(raw_batch, tuple(crop_size), window)
     return _build_train_batch(raw_batch, tuple(crop_size))
 
 
-def synthetic_batches(batch_size: int, crop_size) -> Iterator[TrainBatch]:
+def synthetic_batches(
+    batch_size: int, crop_size, window: int = 1
+) -> Iterator[TrainBatch]:
     from ..utils.synthetic import make_torchdata_sample
 
     seed = 0
@@ -88,11 +133,11 @@ def synthetic_batches(batch_size: int, crop_size) -> Iterator[TrainBatch]:
         items = []
         for _ in range(batch_size):
             mono, labels = make_torchdata_sample(
-                rng_seed=seed % 50, t=1, hand_idx=seed % 2
+                rng_seed=seed % 50, t=max(window, 1), hand_idx=seed % 2
             )
             items.append({"mono": mono, "labels": labels})
             seed += 1
-        yield _batch_from_sequences(items, crop_size)
+        yield _batch_from_sequences(items, crop_size, window)
 
 
 def dataset_batches(cfg: Config) -> Iterator[TrainBatch]:
@@ -112,7 +157,9 @@ def dataset_batches(cfg: Config) -> Iterator[TrainBatch]:
         ):
             batch.append(item)
             if len(batch) == cfg.train.batch_size:
-                yield _batch_from_sequences(batch, cfg.data.crop_size)
+                yield _batch_from_sequences(
+                    batch, cfg.data.crop_size, cfg.train.tbptt_window
+                )
                 batch = []
         epoch += 1
 
@@ -133,14 +180,18 @@ def run_training(cfg: Config, batches: Iterator[TrainBatch], num_steps=None):
         landmark_nll=cfg.train.loss_landmark_nll,
         scale=cfg.train.loss_scale,
     )
-    del weights  # LossWeights currently fixed inside loss_fn defaults
 
     num_steps = num_steps or cfg.train.num_steps
     t0 = time.time()
     history = []
     for step in range(num_steps):
         batch = shard_batch(next(batches), mesh)
-        ts, metrics = train_step(model, optimizer, ts, batch)
+        step_fn = (
+            temporal_train_step
+            if isinstance(batch, TemporalTrainBatch)
+            else train_step
+        )
+        ts, metrics = step_fn(model, optimizer, ts, batch, weights)
         if step % cfg.train.log_every == 0 or step == num_steps - 1:
             loss = float(metrics["loss"])
             history.append(loss)
@@ -179,6 +230,10 @@ def main(argv=None):
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument(
+        "--window", type=int, default=None,
+        help="TBPTT window length (frames); >1 trains the memory through time",
+    )
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--print-config", action="store_true")
     args = parser.parse_args(argv)
@@ -191,7 +246,7 @@ def main(argv=None):
             data=cfg.data.__class__(**{**cfg.data.__dict__, "data_roots": tuple(args.data)}),
             mesh=cfg.mesh, train=cfg.train,
         )
-    if args.batch_size or args.checkpoint_dir or args.steps:
+    if args.batch_size or args.checkpoint_dir or args.steps or args.window:
         tr = {**cfg.train.__dict__}
         if args.batch_size:
             tr["batch_size"] = args.batch_size
@@ -199,6 +254,8 @@ def main(argv=None):
             tr["checkpoint_dir"] = args.checkpoint_dir
         if args.steps:
             tr["num_steps"] = args.steps
+        if args.window:
+            tr["tbptt_window"] = args.window
         cfg = Config(model=cfg.model, tracker=cfg.tracker, data=cfg.data,
                      mesh=cfg.mesh, train=cfg.train.__class__(**tr))
     if args.print_config:
@@ -206,7 +263,9 @@ def main(argv=None):
         return
 
     if args.synthetic:
-        batches = synthetic_batches(cfg.train.batch_size, cfg.data.crop_size)
+        batches = synthetic_batches(
+            cfg.train.batch_size, cfg.data.crop_size, cfg.train.tbptt_window
+        )
     else:
         assert cfg.data.data_roots, "--data or config data_roots required"
         batches = dataset_batches(cfg)

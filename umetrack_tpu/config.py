@@ -48,6 +48,9 @@ class TrainConfig:
     loss_wrist_points: float = 1.0
     loss_landmark_nll: float = 0.1
     loss_scale: float = 0.1
+    # TBPTT window length (frames); 1 = single-frame training, >1 trains the
+    # conv-RNN memory through time.
+    tbptt_window: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

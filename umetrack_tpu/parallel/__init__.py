@@ -2,11 +2,14 @@ from . import distributed, eval, mesh, train
 from .mesh import make_mesh, shard_batch, shard_variables
 from .train import (
     LossWeights,
+    TemporalTrainBatch,
     TrainBatch,
     TrainState,
     create_train_state,
     loss_fn,
     synthetic_train_batch,
+    temporal_loss_fn,
+    temporal_train_step,
     train_step,
 )
 
@@ -19,10 +22,13 @@ __all__ = [
     "shard_batch",
     "shard_variables",
     "LossWeights",
+    "TemporalTrainBatch",
     "TrainBatch",
     "TrainState",
     "create_train_state",
     "loss_fn",
     "synthetic_train_batch",
+    "temporal_loss_fn",
+    "temporal_train_step",
     "train_step",
 ]

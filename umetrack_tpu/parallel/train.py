@@ -48,6 +48,24 @@ class TrainBatch:
 
 
 @struct.dataclass
+class TemporalTrainBatch:
+    """A batch of K-frame supervised windows (meters); time axis second.
+
+    Training through time is what actually exercises the conv-RNN memory
+    (reference temporal.py:93-139): ``use_memory`` should be False at k=0 and
+    True after, and extrinsics should move frame-to-frame so the FTL motion
+    compensation is active in the gradient path.
+    """
+
+    frames: FrameInputs  # leaves [B, K, ...]
+    skeleton: SkeletonInputs  # [B, 22, 3] each
+    gt_joint_angles: jnp.ndarray  # [B, K, 22]
+    gt_wrist_world: jnp.ndarray  # [B, K, 4, 4] left-convention, meters
+    hand: HandModel  # batched [B, ...] (left, meters)
+    gt_scales: Optional[jnp.ndarray] = None  # [B]
+
+
+@struct.dataclass
 class TrainState:
     params: dict
     batch_stats: dict
@@ -74,6 +92,37 @@ def create_train_state(
     )
 
 
+def _frame_losses(
+    model: UmeTrackNet,
+    out,
+    frame: FrameInputs,
+    gt_joint_angles: jnp.ndarray,
+    gt_wrist_world: jnp.ndarray,
+    hand: HandModel,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-frame supervised terms shared by the single-frame and TBPTT
+    losses: (angle MSE, wrist rigid-point MSE in cam0, landmark NLL)."""
+    # 1) finger-angle MSE (wrist slots are identically zero on both sides)
+    angle_loss = jnp.mean(
+        (out.joint_angles[:, :20] - gt_joint_angles[:, :20]) ** 2
+    )
+
+    # 2) wrist rigid points in cam0: GT wrist (world, left-conv) -> cam0
+    e0 = frame.extrinsics[:, 0]
+    gt_wrist_cam0 = e0 @ gt_wrist_world
+    rigid = jnp.asarray(gen_rigid_points(model.config.n_wrist_rigid_pts))
+    gt_points = jax.vmap(lambda m: affine.transform3(m, rigid))(gt_wrist_cam0)
+    point_loss = jnp.mean((out.wrist_points - gt_points) ** 2)
+
+    # 3) landmark NLL with predicted angles + GT wrist (no SVD in the path)
+    pred_lm = skin_landmarks(hand, out.joint_angles, gt_wrist_world)
+    gt_lm = skin_landmarks(hand, gt_joint_angles, gt_wrist_world)
+    err = jnp.linalg.norm(pred_lm - gt_lm + 1e-12, axis=-1)  # [B, 21]
+    sig = out.landmark_uncertainty_sigmas
+    nll = jnp.mean(jnp.log(sig) + 0.5 * (err / sig) ** 2)
+    return angle_loss, point_loss, nll
+
+
 def loss_fn(
     model: UmeTrackNet,
     params,
@@ -95,24 +144,10 @@ def loss_fn(
         mutable=["batch_stats"],
     )
 
-    # 1) finger-angle MSE (wrist slots are identically zero on both sides)
-    angle_loss = jnp.mean(
-        (out.joint_angles[:, :20] - batch.gt_joint_angles[:, :20]) ** 2
+    angle_loss, point_loss, nll = _frame_losses(
+        model, out, batch.frame, batch.gt_joint_angles,
+        batch.gt_wrist_world, batch.hand,
     )
-
-    # 2) wrist rigid points in cam0: GT wrist (world, left-conv) -> cam0
-    e0 = batch.frame.extrinsics[:, 0]
-    gt_wrist_cam0 = e0 @ batch.gt_wrist_world
-    rigid = jnp.asarray(gen_rigid_points(model.config.n_wrist_rigid_pts))
-    gt_points = jax.vmap(lambda m: affine.transform3(m, rigid))(gt_wrist_cam0)
-    point_loss = jnp.mean((out.wrist_points - gt_points) ** 2)
-
-    # 3) landmark NLL with predicted angles + GT wrist (no SVD in the path)
-    pred_lm = skin_landmarks(batch.hand, out.joint_angles, batch.gt_wrist_world)
-    gt_lm = skin_landmarks(batch.hand, batch.gt_joint_angles, batch.gt_wrist_world)
-    err = jnp.linalg.norm(pred_lm - gt_lm + 1e-12, axis=-1)  # [B, 21]
-    sig = out.landmark_uncertainty_sigmas
-    nll = jnp.mean(jnp.log(sig) + 0.5 * (err / sig) ** 2)
 
     total = (
         weights.angles * angle_loss
@@ -146,29 +181,131 @@ def loss_fn(
     return total, (mutated["batch_stats"], metrics)
 
 
+def temporal_loss_fn(
+    model: UmeTrackNet,
+    params,
+    batch_stats,
+    batch: TemporalTrainBatch,
+    weights: LossWeights = LossWeights(),
+) -> Tuple[jnp.ndarray, Tuple[dict, dict]]:
+    """TBPTT loss: ``lax.scan`` over the K-frame window threading the
+    ``TemporalState`` carry, so gradients flow into the memory pathway
+    (``temporal/conv*`` mem-input channels) through real recurrence —
+    including the FTL motion compensation, which is active whenever
+    ``frames.use_memory[:, k]`` is set (reference temporal.py:51-139)."""
+    b, k = batch.gt_joint_angles.shape[:2]
+    state0 = TemporalState.zeros(b, model.config)
+
+    time_major = lambda a: jnp.moveaxis(a, 0, 1)
+    frames_t = jax.tree_util.tree_map(time_major, batch.frames)
+    xs = (
+        frames_t,
+        time_major(batch.gt_joint_angles),
+        time_major(batch.gt_wrist_world),
+    )
+
+    def step(carry, x):
+        state, stats = carry
+        frame, gt_angles, gt_wrist = x
+        (out, new_state), mutated = model.apply(
+            {"params": params, "batch_stats": stats},
+            frame,
+            batch.skeleton,
+            state,
+            True,  # train
+            method=UmeTrackNet.known_skeleton,
+            mutable=["batch_stats"],
+        )
+        losses = _frame_losses(
+            model, out, frame, gt_angles, gt_wrist, batch.hand
+        )
+        return (new_state, mutated["batch_stats"]), jnp.stack(losses)
+
+    (_, new_stats), per_step = jax.lax.scan(step, (state0, batch_stats), xs)
+    angle_loss, point_loss, nll = jnp.mean(per_step, axis=0)
+
+    total = (
+        weights.angles * angle_loss
+        + weights.wrist_points * point_loss
+        + weights.landmark_nll * nll
+    )
+
+    # Scale head on the first frame only (zero state, no memory), mirroring
+    # the single-frame loss; it shares the extractor/temporal trunk.
+    scale_loss = jnp.zeros(())
+    if batch.gt_scales is not None:
+        frame0 = jax.tree_util.tree_map(lambda a: a[0], frames_t)
+        (out_u, _), new_stats = model.apply(
+            {"params": params, "batch_stats": new_stats},
+            frame0,
+            state0,
+            True,
+            method=UmeTrackNet.predict_scale,
+            mutable=["batch_stats"],
+        )
+        new_stats = new_stats["batch_stats"]
+        scale_loss = jnp.mean(
+            (jnp.log(out_u.skel_scales) - jnp.log(batch.gt_scales)) ** 2
+        )
+        total = total + weights.scale * scale_loss
+    metrics = {
+        "loss": total,
+        "angle_loss": angle_loss,
+        "point_loss": point_loss,
+        "landmark_nll": nll,
+        "scale_loss": scale_loss,
+    }
+    return total, (new_stats, metrics)
+
+
+def _apply_grads(
+    optimizer: optax.GradientTransformation,
+    ts: TrainState,
+    grads,
+    new_stats,
+) -> TrainState:
+    updates, new_opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+    new_params = optax.apply_updates(ts.params, updates)
+    return TrainState(
+        params=new_params,
+        batch_stats=new_stats,
+        opt_state=new_opt_state,
+        step=ts.step + 1,
+    )
+
+
 @partial(jax.jit, static_argnames=("model", "optimizer"))
 def train_step(
     model: UmeTrackNet,
     optimizer: optax.GradientTransformation,
     ts: TrainState,
     batch: TrainBatch,
+    weights: LossWeights = LossWeights(),
 ) -> Tuple[TrainState, dict]:
     """One optimizer step; shardings flow from the (params, batch) placement."""
     grad_fn = jax.value_and_grad(
-        lambda p: loss_fn(model, p, ts.batch_stats, batch), has_aux=True
+        lambda p: loss_fn(model, p, ts.batch_stats, batch, weights),
+        has_aux=True,
     )
     (_, (new_stats, metrics)), grads = grad_fn(ts.params)
-    updates, new_opt_state = optimizer.update(grads, ts.opt_state, ts.params)
-    new_params = optax.apply_updates(ts.params, updates)
-    return (
-        TrainState(
-            params=new_params,
-            batch_stats=new_stats,
-            opt_state=new_opt_state,
-            step=ts.step + 1,
-        ),
-        metrics,
+    return _apply_grads(optimizer, ts, grads, new_stats), metrics
+
+
+@partial(jax.jit, static_argnames=("model", "optimizer"))
+def temporal_train_step(
+    model: UmeTrackNet,
+    optimizer: optax.GradientTransformation,
+    ts: TrainState,
+    batch: TemporalTrainBatch,
+    weights: LossWeights = LossWeights(),
+) -> Tuple[TrainState, dict]:
+    """One TBPTT optimizer step over a K-frame window."""
+    grad_fn = jax.value_and_grad(
+        lambda p: temporal_loss_fn(model, p, ts.batch_stats, batch, weights),
+        has_aux=True,
     )
+    (_, (new_stats, metrics)), grads = grad_fn(ts.params)
+    return _apply_grads(optimizer, ts, grads, new_stats), metrics
 
 
 def synthetic_train_batch(rng_seed: int, batch: int, hand: HandModel) -> TrainBatch:
