@@ -146,3 +146,70 @@ def test_batched_matches_per_sequence_tracking(model_vars, small_sequences):
             np.asarray(res_i.joint_angles),
             rtol=1e-4, atol=1e-4,
         )
+
+
+def test_batched_unknown_skeleton_matches_per_sequence(model_vars, small_sequences):
+    """calibrate_sequences_batched + the unknown protocol reproduce the
+    per-sequence calibrate/track path (VERDICT r1 item 7; reference
+    run_eval_unknown_skeleton.py:49-128)."""
+    from umetrack_tpu.kinematics.hand import load_hand_model_json, scaled_hand_model
+    from umetrack_tpu.parallel.eval import eval_sequences_unknown_batched
+    from umetrack_tpu.tracker import HandTracker
+    from umetrack_tpu.tracker.tracker import calibrate_sequences_batched
+
+    model, variables = model_vars
+    rigs, seqs, hands = small_sequences
+    cfg = TrackerConfig()
+    s = rigs.fx.shape[0]
+
+    scales_b = calibrate_sequences_batched(
+        model, cfg, variables, rigs, seqs, make_batched_state(model, s),
+        hands, n_calibration_samples=6,
+    )
+    assert scales_b.shape == (s,)
+
+    tracker = HandTracker(model, variables)
+    for i in range(s):
+        rig_i = jax.tree_util.tree_map(lambda a: a[i], rigs)
+        seq_i = jax.tree_util.tree_map(lambda a: a[i], seqs)
+        hand_i = jax.tree_util.tree_map(
+            lambda a: None if a is None else a[i], hands
+        )
+        scale_i = tracker.calibrate_sequence(
+            rig_i, seq_i, hand_i, n_calibration_samples=6
+        )
+        np.testing.assert_allclose(
+            float(scales_b[i]), float(scale_i), rtol=1e-4
+        )
+
+    generic = load_hand_model_json(
+        "/root/reference/dataset/generic_hand_model.json"
+    )
+    per_seq, n_valid, gmean, scales2 = eval_sequences_unknown_batched(
+        model, cfg, variables, rigs, seqs, hands, generic,
+        n_calibration_samples=6,
+    )
+    assert per_seq.shape == (s,)
+    np.testing.assert_allclose(
+        np.asarray(scales2), np.asarray(scales_b), rtol=1e-5
+    )
+    assert np.isfinite(float(gmean))
+
+    # spot-check sequence 0 against the per-sequence unknown protocol
+    rig0 = jax.tree_util.tree_map(lambda a: a[0], rigs)
+    seq0 = jax.tree_util.tree_map(lambda a: a[0], seqs)
+    hand0 = jax.tree_util.tree_map(
+        lambda a: None if a is None else a[0], hands
+    )
+    calibrated0 = scaled_hand_model(generic, scales_b[0])
+    res0, _ = tracker.track_sequence(
+        rig0, seq0, hand0, skel_hand_model_mm=calibrated0
+    )
+    from umetrack_tpu.tracker import sequence_landmarks
+
+    tracked = sequence_landmarks(calibrated0, res0.joint_angles, res0.wrist_xfs)
+    gt = sequence_landmarks(hand0, seq0.gt_joint_angles, seq0.gt_wrist_xfs)
+    v = np.asarray(res0.valid).astype(float)
+    err = np.linalg.norm(np.asarray(tracked) - np.asarray(gt), axis=-1).mean(-1)
+    expected = (err * v).sum() / max(v.sum(), 1.0)
+    np.testing.assert_allclose(float(per_seq[0]), expected, rtol=1e-3)

@@ -298,6 +298,73 @@ def track_sequence(
     )
 
 
+def _prepare_sequences_merged(
+    config: TrackerConfig,
+    rigs: CameraRig,  # [S, ...]
+    seqs: FrameObservation,  # [S, T, ...]
+    hand_models_mm: HandModel,  # [S, ...]
+    min_num_crops: int,
+):
+    """vmapped (S, T) prep, reshaped time-major with the S sequences merged
+    into 2S flat hand rows for the recurrent scan."""
+    s = rigs.fx.shape[0]
+    crop_sets, crop_images = jax.vmap(
+        lambda rig, seq, hm: _prepare_sequence(config, rig, seq, hm, min_num_crops)
+    )(rigs, seqs, hand_models_mm)  # leaves [S, T, 2, ...]
+
+    # [S, T, 2, ...] -> [T, 2S, ...]
+    def to_scan(a):
+        a = jnp.moveaxis(a, 1, 0)  # [T, S, 2, ...]
+        return a.reshape(a.shape[0], s * 2, *a.shape[3:])
+
+    crop_sets_t = jax.tree_util.tree_map(to_scan, crop_sets)
+    crop_images_t = to_scan(crop_images)
+    return crop_sets_t, crop_images_t
+
+
+def _merged_scan(
+    model: UmeTrackNet,
+    config: TrackerConfig,
+    variables,
+    crop_sets_t: CropSet,  # leaves [T, 2S, ...]
+    crop_images_t: jnp.ndarray,
+    init_state: TrackState,  # leaves [2S, ...]
+    skeleton: SkeletonInputs | None,  # [2S, ...] rows or None (scale head)
+    hand_idx: jnp.ndarray,  # [2S]
+) -> Tuple[FrameResult, TrackState]:
+    """Recurrent scan over time with 2S merged hand rows per model call."""
+
+    def body(state: TrackState, xs):
+        crop_set, images = xs
+        frame = _frame_inputs_from_crops(
+            crop_set, images, state, config.enable_memory, hand_idx=hand_idx
+        )
+        if skeleton is not None:
+            out, new_temporal = model.apply(
+                variables, frame, skeleton, state.temporal,
+                method=UmeTrackNet.known_skeleton,
+            )
+        else:
+            out, new_temporal = model.apply(
+                variables, frame, state.temporal,
+                method=UmeTrackNet.predict_scale,
+            )
+        wrist_mm = out.wrist_xfs.at[..., :3, 3].multiply(M_TO_MM)
+        result = FrameResult(
+            joint_angles=out.joint_angles,
+            wrist_xfs=wrist_mm,
+            valid=crop_set.hand_valid,
+            n_views=crop_set.n_views,
+            predicted_scales=out.skel_scales,
+        )
+        new_state = TrackState(
+            temporal=new_temporal, valid_history=crop_set.hand_valid
+        )
+        return new_state, result
+
+    return jax.lax.scan(body, init_state, (crop_sets_t, crop_images_t))
+
+
 @partial(jax.jit, static_argnames=("model", "config", "min_num_crops"))
 def track_sequences_batched(
     model: UmeTrackNet,
@@ -320,18 +387,9 @@ def track_sequences_batched(
     time axis).  Results come back as [T, S, 2, ...].
     """
     s = rigs.fx.shape[0]
-
-    crop_sets, crop_images = jax.vmap(
-        lambda rig, seq, hm: _prepare_sequence(config, rig, seq, hm, min_num_crops)
-    )(rigs, seqs, hand_models_mm)  # leaves [S, T, 2, ...]
-
-    # [S, T, 2, ...] -> [T, 2S, ...]
-    def to_scan(a):
-        a = jnp.moveaxis(a, 1, 0)  # [T, S, 2, ...]
-        return a.reshape(a.shape[0], s * 2, *a.shape[3:])
-
-    crop_sets_t = jax.tree_util.tree_map(to_scan, crop_sets)
-    crop_images_t = to_scan(crop_images)
+    crop_sets_t, crop_images_t = _prepare_sequences_merged(
+        config, rigs, seqs, hand_models_mm, min_num_crops
+    )
 
     skel_src = hand_models_mm if skel_hand_models_mm is None else skel_hand_models_mm
     hand_m = scaled_hand_model(skel_src, MM_TO_M)
@@ -339,39 +397,86 @@ def track_sequences_batched(
         joint_rotation_axes=jnp.repeat(hand_m.joint_rotation_axes, 2, axis=0),
         joint_rest_positions=jnp.repeat(hand_m.joint_rest_positions, 2, axis=0),
     )
-
     hand_idx = jnp.tile(jnp.arange(2, dtype=jnp.int32), s)
 
-    def body(state: TrackState, xs):
-        crop_set, images = xs
-        frame = _frame_inputs_from_crops(
-            crop_set, images, state, config.enable_memory, hand_idx=hand_idx
-        )
-        out, new_temporal = model.apply(
-            variables, frame, skeleton, state.temporal,
-            method=UmeTrackNet.known_skeleton,
-        )
-        wrist_mm = out.wrist_xfs.at[..., :3, 3].multiply(M_TO_MM)
-        result = FrameResult(
-            joint_angles=out.joint_angles,
-            wrist_xfs=wrist_mm,
-            valid=crop_set.hand_valid,
-            n_views=crop_set.n_views,
-            predicted_scales=out.skel_scales,
-        )
-        new_state = TrackState(
-            temporal=new_temporal, valid_history=crop_set.hand_valid
-        )
-        return new_state, result
-
-    final_state, results = jax.lax.scan(
-        body, init_state, (crop_sets_t, crop_images_t)
+    final_state, results = _merged_scan(
+        model, config, variables, crop_sets_t, crop_images_t, init_state,
+        skeleton, hand_idx,
     )
     # [T, 2S, ...] -> [T, S, 2, ...]
     results = jax.tree_util.tree_map(
         lambda a: a.reshape(a.shape[0], s, 2, *a.shape[2:]), results
     )
     return results, final_state
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model", "config", "n_calibration_samples", "min_num_crops"),
+)
+def calibrate_sequences_batched(
+    model: UmeTrackNet,
+    config: TrackerConfig,
+    variables,
+    rigs: CameraRig,  # leaves [S, ...]
+    seqs: FrameObservation,  # leaves [S, T, ...]
+    init_state: TrackState,  # leaves [2S, ...]
+    hand_models_mm: HandModel,  # leaves [S, ...]
+    n_calibration_samples: int = 30,
+    min_num_crops: int = 2,
+) -> jnp.ndarray:  # [S]
+    """Unknown-skeleton pass 1 for S sequences in lock-step: the scale head
+    runs on 2S merged hand rows per scan step, and each sequence averages its
+    first ``n_calibration_samples`` valid predictions (frame-major, hand 0
+    before hand 1 — the reference's append order,
+    run_eval_unknown_skeleton.py:49-78)."""
+    s = rigs.fx.shape[0]
+    crop_sets_t, crop_images_t = _prepare_sequences_merged(
+        config, rigs, seqs, hand_models_mm, min_num_crops
+    )
+    hand_idx = jnp.tile(jnp.arange(2, dtype=jnp.int32), s)
+    _, results = _merged_scan(
+        model, config, variables, crop_sets_t, crop_images_t, init_state,
+        skeleton=None, hand_idx=hand_idx,
+    )
+    # [T, 2S] -> [S, T*2] frame-major, hand-minor per sequence
+    scales = jnp.moveaxis(
+        results.predicted_scales.reshape(-1, s, 2), 1, 0
+    ).reshape(s, -1)
+    valid = jnp.moveaxis(results.valid.reshape(-1, s, 2), 1, 0).reshape(s, -1)
+    if n_calibration_samples:
+        take = valid & (
+            jnp.cumsum(valid.astype(jnp.int32), axis=1) <= n_calibration_samples
+        )
+    else:
+        take = valid
+    w = take.astype(scales.dtype)
+    return jnp.sum(scales * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1.0)
+
+
+@partial(jax.jit, static_argnames=("model", "config", "min_num_crops"))
+def predict_scales_sequence(
+    model: UmeTrackNet,
+    config: TrackerConfig,
+    variables,
+    rig: CameraRig,
+    seq: FrameObservation,
+    init_state: TrackState,
+    hand_model_mm: HandModel,
+    min_num_crops: int = 2,
+) -> Tuple[jnp.ndarray, jnp.ndarray, TrackState]:
+    """Per-frame skeleton-scale predictions over a sequence (chunk): returns
+    (scales [T, 2], valid [T, 2], final state).  The chunked building block
+    of the unknown-skeleton calibration pass — callers aggregate across
+    chunks host-side with bounded memory."""
+    crop_sets, crop_images = _prepare_sequence(
+        config, rig, seq, hand_model_mm, min_num_crops
+    )
+    results, state = _model_scan(
+        model, config, variables, crop_sets, crop_images, init_state,
+        skeleton=None,
+    )
+    return results.predicted_scales, results.valid, state
 
 
 @partial(
@@ -481,4 +586,13 @@ class HandTracker:
             self.model, self.config, self.variables, rig, seq,
             init_state or self.init_state(), hand_model_mm,
             n_calibration_samples,
+        )
+
+    def predict_scales(
+        self, rig, seq, hand_model_mm, min_num_crops: int = 2,
+        init_state: Optional[TrackState] = None,
+    ):
+        return predict_scales_sequence(
+            self.model, self.config, self.variables, rig, seq,
+            init_state or self.init_state(), hand_model_mm, min_num_crops,
         )
