@@ -24,6 +24,7 @@ from ..models import init_model
 from ..tracker import HandTracker
 from .sequence_eval import (
     eval_sequence_known,
+    eval_sequence_known_streaming,
     find_input_output_files,
     save_artifact,
     sequence_mean_error,
@@ -46,8 +47,8 @@ def load_model(checkpoint: str | None):
 
 
 def run_real(args, tracker: HandTracker):
-    from ..data.dataset import prefetch_map
-    from ..tracker.video import load_sequence
+    from ..tracker.video import open_sequence
+    from ..utils.profiling import PhaseTimers
 
     inputs, outputs = find_input_output_files(
         args.input_dir, args.output_dir, test_only=not args.all_splits
@@ -63,19 +64,23 @@ def run_real(args, tracker: HandTracker):
     ]
     logger.info("%d sequences to process", len(todo))
 
+    timers = PhaseTimers()
     errors = []
-    for (in_path, out_path), seq in zip(
-        todo, prefetch_map(lambda p: load_sequence(p[0]), iter(todo),
-                           num_threads=2, max_prefetch=2)
-    ):
+    for in_path, out_path in todo:
         logger.info("Processing %s ...", in_path)
-        artifact = eval_sequence_known(tracker, seq)
+        # Streaming: labels load up front (small), video decodes in bounded
+        # chunks overlapped with on-device tracking.
+        stream = open_sequence(in_path)
+        artifact = eval_sequence_known_streaming(
+            tracker, stream, chunk=args.chunk, timers=timers
+        )
         save_artifact(out_path, artifact)
         err = sequence_mean_error(artifact)
         errors.append(err)
         logger.info("%s: mean error %.3f mm -> %s", in_path, err, out_path)
     if errors:
         logger.info("Final mean error: %.4f mm", float(np.nanmean(errors)))
+        logger.info("phase breakdown:\n%s", timers.report())
     return errors
 
 
@@ -122,6 +127,8 @@ def main(argv=None):
                         help="also process non-'testing' folders")
     parser.add_argument("--rank", type=int, default=0)
     parser.add_argument("--world-size", type=int, default=1)
+    parser.add_argument("--chunk", type=int, default=64,
+                        help="streaming decode/track chunk length (frames)")
     parser.add_argument("--synthetic", type=int, default=0,
                         help="run N synthetic sequences instead of raw_data")
     parser.add_argument("--synthetic-frames", type=int, default=64)

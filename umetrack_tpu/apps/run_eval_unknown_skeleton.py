@@ -19,6 +19,7 @@ from ..tracker import HandTracker
 from .run_eval_known_skeleton import load_model
 from .sequence_eval import (
     eval_sequence_unknown,
+    eval_sequence_unknown_streaming,
     find_input_output_files,
     save_artifact,
     sequence_mean_error,
@@ -39,6 +40,8 @@ def main(argv=None):
     parser.add_argument("--override", action="store_true")
     parser.add_argument("--rank", type=int, default=0)
     parser.add_argument("--world-size", type=int, default=1)
+    parser.add_argument("--chunk", type=int, default=64,
+                        help="streaming decode/track chunk length (frames)")
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--synthetic-frames", type=int, default=64)
     args = parser.parse_args(argv)
@@ -78,8 +81,7 @@ def main(argv=None):
             logger.info("synthetic seq %d: mean error %.3f mm", i, err)
     else:
         assert args.input_dir, "--input-dir required without --synthetic"
-        from ..data.dataset import prefetch_map
-        from ..tracker.video import load_sequence
+        from ..tracker.video import open_sequence
 
         inputs, outputs = find_input_output_files(
             args.input_dir, args.output_dir
@@ -91,14 +93,14 @@ def main(argv=None):
             if args.override or not fs.exists(o)
         ]
         logger.info("%d sequences to process", len(todo))
-        for (in_path, out_path), seq in zip(
-            todo,
-            prefetch_map(lambda p: load_sequence(p[0]), iter(todo),
-                         num_threads=2, max_prefetch=2),
-        ):
+        for in_path, out_path in todo:
             logger.info("Processing %s ...", in_path)
-            artifact = eval_sequence_unknown(
-                tracker, seq, generic, args.n_calibration_samples
+            # Streaming two-pass protocol: bounded-memory decode per pass
+            # (the reference likewise decodes the sequence twice).
+            stream = open_sequence(in_path)
+            artifact = eval_sequence_unknown_streaming(
+                tracker, stream, generic, args.n_calibration_samples,
+                chunk=args.chunk,
             )
             save_artifact(out_path, artifact)
             err = sequence_mean_error(artifact)

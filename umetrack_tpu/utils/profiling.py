@@ -34,12 +34,14 @@ class PhaseTimers:
 
     @contextlib.contextmanager
     def phase(self, name: str, items: int = 0, barrier=None):
+        """``barrier`` may be a pytree of device arrays or a zero-arg callable
+        returning one (for values produced inside the block)."""
         t0 = time.perf_counter()
         try:
             yield
         finally:
             if barrier is not None:
-                fetch_barrier(barrier)
+                fetch_barrier(barrier() if callable(barrier) else barrier)
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
             self.items[name] += items
