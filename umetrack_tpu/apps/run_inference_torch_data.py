@@ -48,12 +48,16 @@ def eval_batch(
     gt_joint_angles: jnp.ndarray,  # [B, T, 22]
     gt_wrist_xfs: jnp.ndarray,  # [B, T, 4, 4] meters
     n_views: int = 2,
+    step_valid: Optional[jnp.ndarray] = None,  # [B, T] bool
 ) -> jnp.ndarray:
     """Per-sample mean keypoint error (mm) for a batch of sequences
     (reference _eval_batch, run_inference_torch_data.py:88-135).
 
     ``n_views=1`` reproduces the reference's "singlev" mode: only view 0 of
-    each sample feeds the model.
+    each sample feeds the model.  ``step_valid`` masks padded timesteps out
+    of the per-sample mean (ragged-length batches are edge-padded to a
+    common bucket; the reference's DataLoader only ever saw fixed-shape
+    samples, run_inference_torch_data.py:179-185).
     """
     b, t = model_input.left_images.shape[:2]
 
@@ -106,7 +110,12 @@ def eval_batch(
     )
     gt_lm = skin_landmarks(hand_bt, gt_joint_angles, gt_wrist_xfs)
     pred_lm = skin_landmarks(hand_bt, pred_angles, pred_wrists)
-    err = jnp.linalg.norm(gt_lm - pred_lm, axis=-1).mean(axis=(1, 2))
+    per_step = jnp.linalg.norm(gt_lm - pred_lm, axis=-1).mean(axis=2)  # [B, T]
+    if step_valid is None:
+        err = per_step.mean(axis=1)
+    else:
+        w = step_valid.astype(per_step.dtype)
+        err = (per_step * w).sum(axis=1) / jnp.maximum(w.sum(axis=1), 1.0)
     return err * 1000.0
 
 
@@ -170,7 +179,9 @@ def run(
 
 
 @partial(jax.jit, static_argnames=("model", "crop_size", "n_views"))
-def _preprocess_and_eval(model, variables, raw_batch, crop_size, n_views=2):
+def _preprocess_and_eval(
+    model, variables, raw_batch, crop_size, n_views=2, step_valid=None
+):
     from ..data.transform import preprocess_sequence
 
     model_input, target = jax.vmap(
@@ -178,17 +189,54 @@ def _preprocess_and_eval(model, variables, raw_batch, crop_size, n_views=2):
     )(raw_batch)
     return eval_batch(
         model, variables, model_input,
-        target.gt_joint_angles, target.gt_wrist_xfs, n_views,
+        target.gt_joint_angles, target.gt_wrist_xfs, n_views, step_valid,
+    )
+
+
+# Ragged sequence lengths are edge-padded to the next multiple of this, so
+# one batch costs at most a handful of XLA compiles across a dataset.
+PAD_T_BUCKET = 16
+
+
+def _pad_raw_np(raw, t_pad: int):
+    """Edge-pad every time-major leaf of a host RawSequence to ``t_pad``."""
+    t = raw.images.shape[0]
+    if t == t_pad:
+        return raw
+
+    def pad(a):
+        widths = [(0, t_pad - t)] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(np.asarray(a), widths, mode="edge")
+
+    return raw.replace(
+        images=pad(raw.images),
+        extrinsics=pad(raw.extrinsics),
+        intrinsics=pad(raw.intrinsics),
+        enclosing_points=pad(raw.enclosing_points),
+        hand=pad(raw.hand),
+        wrist=pad(raw.wrist),
+        joint_angles=pad(raw.joint_angles),
+        solved_wrist_xfs=pad(raw.solved_wrist_xfs),
+        solved_joint_angles=pad(raw.solved_joint_angles),
+        pinch=pad(raw.pinch),
     )
 
 
 def _run_batch(model, variables, items, crop_size, n_views=2):
     from ..data.transform import parse_raw_buffers
 
-    raws = [parse_raw_buffers(it["mono"], it["labels"]) for it in items]
-    raw_batch = bundles.collate([jax.device_get(r) for r in raws])
+    raws = [
+        jax.device_get(parse_raw_buffers(it["mono"], it["labels"]))
+        for it in items
+    ]
+    lens = [int(r.images.shape[0]) for r in raws]
+    t_pad = -(-max(lens) // PAD_T_BUCKET) * PAD_T_BUCKET
+    raw_batch = bundles.collate([_pad_raw_np(r, t_pad) for r in raws])
+    step_valid = jnp.asarray(
+        np.arange(t_pad)[None, :] < np.asarray(lens)[:, None]
+    )
     err = _preprocess_and_eval(
-        model, variables, raw_batch, tuple(crop_size), n_views
+        model, variables, raw_batch, tuple(crop_size), n_views, step_valid
     )
     return np.asarray(err)
 
