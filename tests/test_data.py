@@ -135,6 +135,51 @@ class TestPrefetch:
         assert next(it) == 0
         it.close()  # must not hang or leak
 
+    def test_early_close_under_load(self):
+        """Cancel path with slow workers and a fast producer: close must
+        return promptly and stop the feeder."""
+        import time
+
+        produced = []
+
+        def gen():
+            for i in range(10_000):
+                produced.append(i)
+                yield i
+
+        def slow(x):
+            time.sleep(0.005)
+            return x
+
+        it = prefetch_map(slow, gen(), num_threads=4, max_prefetch=8)
+        for _, v in zip(range(5), it):
+            pass
+        t0 = time.perf_counter()
+        it.close()
+        assert time.perf_counter() - t0 < 3.0
+        n_after_close = len(produced)
+        time.sleep(0.1)
+        # feeder stopped: nothing more is pulled from the source
+        assert len(produced) <= n_after_close + 1
+        assert n_after_close < 200  # bounded prefetch never ran ahead far
+
+    def test_bounded_prefetch(self):
+        """The producer never runs more than max_prefetch ahead."""
+        import time
+
+        produced = []
+
+        def gen():
+            for i in range(1000):
+                produced.append(i)
+                yield i
+
+        it = prefetch_map(lambda x: x, gen(), num_threads=2, max_prefetch=4)
+        next(it)
+        time.sleep(0.2)
+        assert len(produced) < 20
+        it.close()
+
 
 class TestDiscovery:
     def test_find_dataset(self, tmp_path):

@@ -40,13 +40,31 @@ def find_torchdata_folders(
 
 
 class FolderDataset:
-    """One torch_data folder: a dict of equally-long idx/bin fields."""
+    """One torch_data folder: a dict of equally-long idx/bin fields.
 
-    def __init__(self, folder: str, fields: Sequence[str]):
+    Reads go through the native mmap reader (native/umetrack_io.cpp) when
+    the shared library is available — the byte path then never holds the
+    GIL, so ``prefetch_map`` worker threads genuinely overlap.  Set
+    ``UMETRACK_NATIVE_IO=0`` (or ``native=False``) to force the pure-Python
+    reader.
+    """
+
+    def __init__(
+        self, folder: str, fields: Sequence[str],
+        native: Optional[bool] = None,
+    ):
+        import os
+
         self.folder = folder
         self.fields = tuple(fields)
-        self._files: Dict[str, IdxBinFile] = {
-            f: IdxBinFile.open(fs.join(folder, f + IDX_SUFFIX)) for f in fields
+        if native is None:
+            native = os.environ.get("UMETRACK_NATIVE_IO", "1") != "0"
+        if native:
+            from .native import open_idxbin as opener
+        else:
+            opener = IdxBinFile.open
+        self._files: Dict[str, Any] = {
+            f: opener(fs.join(folder, f + IDX_SUFFIX)) for f in fields
         }
         lengths = {f: len(v) for f, v in self._files.items()}
         assert len(set(lengths.values())) == 1, f"ragged fields: {lengths}"
@@ -89,8 +107,9 @@ def find_dataset(
     return {s: ConcatDataset(ds) for s, ds in by_split.items() if ds}
 
 
-def subsample_indices(n: int, num: int, seed: int = 0) -> np.ndarray:
-    """Evenly-spread subsample of ``num`` indices out of ``n``."""
+def subsample_indices(n: int, num: int) -> np.ndarray:
+    """Evenly-spread deterministic subsample of ``num`` indices out of ``n``
+    (reference subsample, async_dataset.py:416-455)."""
     if num >= n:
         return np.arange(n)
     return np.linspace(0, n - 1, num).round().astype(np.int64)
@@ -194,7 +213,10 @@ def prefetch_map(
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(max_workers=num_threads)
-    pending: "queue.Queue" = queue.Queue()
+    # Bounded queue: the feeder blocks when max_prefetch results are in
+    # flight, which is what bounds memory.  (+1 slot for the None sentinel so
+    # the feeder can always terminate.)
+    pending: "queue.Queue" = queue.Queue(maxsize=max_prefetch + 1)
     stop = threading.Event()
 
     def feeder():
@@ -202,15 +224,20 @@ def prefetch_map(
             for item in items:
                 if stop.is_set():
                     break
-                pending.put(pool.submit(fn, item))
+                fut = pool.submit(fn, item)
+                while not stop.is_set():
+                    try:
+                        pending.put(fut, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                else:
+                    fut.cancel()
+                    break
         finally:
             pending.put(None)
 
     feeder_thread = threading.Thread(target=feeder, daemon=True)
-
-    # Bound in-flight work by lazily starting the feeder against a bounded
-    # queue: Queue(maxsize) blocks the feeder when the consumer lags.
-    pending.maxsize = max_prefetch
     feeder_thread.start()
 
     try:
@@ -221,14 +248,22 @@ def prefetch_map(
             yield fut.result()
     finally:
         stop.set()
-        while True:  # drain to unblock the feeder
-            try:
-                leftover = pending.get_nowait()
-            except queue.Empty:
-                break
-            if leftover is not None:
-                leftover.cancel()
-        pool.shutdown(wait=False)
+
+        def drain():
+            while True:
+                try:
+                    leftover = pending.get_nowait()
+                except queue.Empty:
+                    return
+                if leftover is not None:
+                    leftover.cancel()
+
+        drain()  # unblock a feeder stuck in put()
+        feeder_thread.join(timeout=2.0)
+        drain()
+        # cancel_futures drops queued work; a future already running its fn
+        # finishes in the background (daemon pool threads, no join).
+        pool.shutdown(wait=False, cancel_futures=True)
 
 
 def iterate_dataset(
