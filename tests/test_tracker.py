@@ -144,19 +144,23 @@ class TestSequenceTracking:
 
         np.testing.assert_array_equal(np.asarray(results.valid), ref_valid)
 
+        # Measured error budget (CPU, converted weights, 12-frame synthetic
+        # sequence): angles max 2.1e-7, rotation max 2.5e-6, wrist
+        # translation max 2.1e-4 mm / p99 1.9e-4 mm.  Tolerances are ~50x
+        # the measured max — far inside BASELINE.md's 0.5 mm parity budget.
         v = ref_valid
         np.testing.assert_allclose(
-            np.asarray(results.joint_angles)[v], ref_angles[v], atol=0.02
+            np.asarray(results.joint_angles)[v], ref_angles[v], atol=1e-5
         )
         np.testing.assert_allclose(
             np.asarray(results.wrist_xfs)[v][..., :3, :3],
             ref_wrists[v][..., :3, :3],
-            atol=0.02,
+            atol=1e-4,
         )
         np.testing.assert_allclose(
             np.asarray(results.wrist_xfs)[v][..., :3, 3],
             ref_wrists[v][..., :3, 3],
-            atol=2.0,  # mm
+            atol=0.01,  # mm
         )
 
         # dropout frames for hand 1 must be invalid
