@@ -2,14 +2,19 @@
 """Benchmark: tracker frames/s per chip on the real device.
 
 Runs the full fused tracker (crop-cam generation -> fisheye warp -> model
-forward -> pose decode -> state carry) over a synthetic 4-camera sequence via
-lax.scan, and compares against the reference implementation's pipeline
-(torch CPU model + numpy/cv2 warps — the reference has no published
-throughput numbers, so the baseline is measured on this same host).
+forward -> pose decode -> state carry) over synthetic 4-camera sequences via
+lax.scan with S sequences merged into the model batch, and compares against
+the reference implementation's pipeline (torch CPU model + numpy/cv2 warps —
+the reference has no published throughput numbers, so the baseline is
+measured on this same host).
 
-Prints ONE JSON line:
+Configuration (round-2 defaults chosen by on-chip A/B, see
+scripts/profile_tracker.py): bfloat16 compute, the Pallas MXU warp kernel,
+S=64 merged sequences.  A phase breakdown (prep/scan split, model-FLOP MFU
+estimate) is printed to stderr; stdout stays ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
+import argparse
 import json
 import os
 import sys
@@ -17,28 +22,42 @@ import time
 
 import numpy as np
 
+# Model FLOPs per tracked frame (2 hands x 2 views x ~1.0 GFLOP backbone
+# per 96x96 crop + ~0.04 GFLOP fusion/temporal/regressor; SURVEY §2.4).
+MODEL_FLOPS_PER_FRAME = 4.0e9
+TPU_V5E_BF16_PEAK = 197e12
 
-def bench_ours(t_frames=16, n_seqs=8, pipeline_depth=4):
+
+def bench_ours(t_frames=16, n_seqs=64, pipeline_depth=4,
+               compute_dtype="bfloat16", breakdown=False):
     """Amortized batched-tracker throughput on the real chip.
 
     S sequences are tracked in one merged-batch scan; ``pipeline_depth``
     back-to-back submissions amortize the remote tunnel's per-call latency
     (~30 ms), with a final host fetch as the completion barrier
     (block_until_ready returns at enqueue time on the axon platform).
+    Inputs stay device-resident across submissions (per-iteration variants
+    are derived on device), so the steady-state number measures chip
+    throughput with host->device transfer amortized away — the production
+    input pipeline overlaps transfers with compute (apps/sequence_eval.py).
     """
+    os.environ.setdefault("UMETRACK_BILINEAR", "pallas")
     import jax
     import jax.numpy as jnp
 
     from umetrack_tpu.models import init_model
+    from umetrack_tpu.models.config import ModelConfig
     from umetrack_tpu.models.umetrack import TemporalState
     from umetrack_tpu.tracker import TrackerConfig, TrackState
+    from umetrack_tpu.tracker import tracker as trk
     from umetrack_tpu.tracker.tracker import track_sequences_batched
     from umetrack_tpu.utils import synthetic
 
     labels, images = synthetic.make_labels_dict(t_frames, rng_seed=0)
     rig, seq, hand = synthetic.our_sequence(labels, images)
 
-    model, variables = init_model(jax.random.PRNGKey(0))
+    mcfg = ModelConfig(compute_dtype=compute_dtype)
+    model, variables = init_model(jax.random.PRNGKey(0), mcfg)
     cfg = TrackerConfig()
 
     stack = lambda x: jax.tree_util.tree_map(
@@ -46,10 +65,36 @@ def bench_ours(t_frames=16, n_seqs=8, pipeline_depth=4):
     )
     rigs, hands, seqs = stack(rig), stack(hand), stack(seq)  # seqs [S, T, ..]
     state = TrackState(
-        temporal=TemporalState.zeros(2 * n_seqs, model.config),
+        temporal=TemporalState.zeros(2 * n_seqs, mcfg),
         valid_history=jnp.zeros((2 * n_seqs,), bool),
     )
 
+    n_frames = t_frames * n_seqs
+
+    # --- phase: prep only (crop generation + warps) — optional: it costs an
+    # extra large XLA compile, so the default run skips it (the standing
+    # numbers live in scripts/profile_tracker.py output).
+    dt_prep = None
+    if breakdown:
+        @jax.jit
+        def prep_only(rigs, seqs, hands):
+            crop_sets, crop_images = jax.vmap(
+                lambda r, q, h: trk._prepare_sequence(cfg, r, q, h, 1)
+            )(rigs, seqs, hands)
+            return jnp.sum(crop_images)
+
+        def timed(fn, *args, reps=3):
+            out = fn(*args)
+            np.asarray(out)  # warmup + compile
+            t0 = time.perf_counter()
+            outs = [fn(*args) for _ in range(reps)]
+            for o in outs:
+                np.asarray(o)
+            return (time.perf_counter() - t0) / reps
+
+        dt_prep = timed(prep_only, rigs, seqs, hands)
+
+    # --- fused tracker ----------------------------------------------------
     def submit(seqs_in):
         res, _ = track_sequences_batched(
             model, cfg, variables, rigs, seqs_in, state, hands
@@ -64,14 +109,31 @@ def bench_ours(t_frames=16, n_seqs=8, pipeline_depth=4):
         for i in range(pipeline_depth)
     ]
     for v in variants:
-        np.asarray(v.images[0, 0, 0, 0, 0])  # materialize inputs
+        np.asarray(v.images[0, 0, 0, 0, 0])  # materialize inputs on device
 
     t0 = time.perf_counter()
     outs = [submit(v) for v in variants]
     for o in outs:
         np.asarray(o.joint_angles)  # completion barrier
     dt = time.perf_counter() - t0
-    return (t_frames * n_seqs * pipeline_depth) / dt
+    dt_frame = dt / pipeline_depth
+
+    fps = n_frames / dt_frame
+    model_tflops = n_frames * MODEL_FLOPS_PER_FRAME / dt_frame / 1e12
+    prep_txt = (
+        f"prep {dt_prep*1e3:.1f} ms (scan-ish {(dt_frame-dt_prep)*1e3:.1f} "
+        f"ms), " if dt_prep is not None else ""
+    )
+    print(
+        f"[bench] dtype={compute_dtype} sampler="
+        f"{os.environ.get('UMETRACK_BILINEAR')} S={n_seqs} T={t_frames}: "
+        f"{prep_txt}fused {dt_frame*1e3:.1f} ms, "
+        f"{fps:.0f} frames/s, model {model_tflops:.1f} TFLOP/s "
+        f"(~{100*model_tflops*1e12/TPU_V5E_BF16_PEAK:.1f}% bf16-peak MFU on "
+        f"model FLOPs alone; warps add ~11 GFLOP/frame on the MXU)",
+        file=sys.stderr, flush=True,
+    )
+    return fps
 
 
 def bench_reference_inline(t_frames=8):
@@ -168,12 +230,25 @@ def bench_reference_inline(t_frames=8):
 
 
 def main():
-    ours_fps = bench_ours()
-    try:
-        ref_fps = bench_reference_inline()
-    except Exception as e:  # reference baseline is best-effort
-        print(f"reference baseline failed: {e}", file=sys.stderr)
-        ref_fps = None
+    p = argparse.ArgumentParser()
+    p.add_argument("--seqs", type=int, default=64)
+    p.add_argument("--t", type=int, default=16)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--no-reference", action="store_true")
+    p.add_argument("--breakdown", action="store_true",
+                   help="also time prep-only (extra XLA compile)")
+    args = p.parse_args()
+
+    ours_fps = bench_ours(
+        t_frames=args.t, n_seqs=args.seqs, compute_dtype=args.dtype,
+        breakdown=args.breakdown,
+    )
+    ref_fps = None
+    if not args.no_reference:
+        try:
+            ref_fps = bench_reference_inline()
+        except Exception as e:  # reference baseline is best-effort
+            print(f"reference baseline failed: {e}", file=sys.stderr)
 
     result = {
         "metric": "tracker_frames_per_s_per_chip",

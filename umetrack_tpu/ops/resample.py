@@ -110,16 +110,38 @@ def _bilinear_matmul(image, coords):
     return jnp.where(valid, out, 0.0)
 
 
+def _bilinear_pallas(image, coords):
+    from .pallas_resample import pallas_bilinear_sample
+
+    return pallas_bilinear_sample(image, coords)
+
+
 _SAMPLERS = {
     "gather2d": _bilinear_gather2d,
     "gather1d": _bilinear_gather1d,
     "matmul": _bilinear_matmul,
+    "pallas": _bilinear_pallas,
 }
 
-# Default sampler; override with UMETRACK_BILINEAR={gather2d,gather1d,matmul}
 import os as _os
 
-_DEFAULT_SAMPLER = _os.environ.get("UMETRACK_BILINEAR", "gather1d")
+# Override with UMETRACK_BILINEAR={gather2d,gather1d,matmul,pallas}.
+# Read at trace time, so the env var also works after import.
+
+
+def default_sampler() -> str:
+    """On TPU the Pallas MXU kernel wins the A/B by 6.6x over the XLA
+    gather (scripts/profile_tracker.py --samplers: 92 vs 607 us/warp on
+    v5e); elsewhere (CPU tests, interpret-less platforms) the portable
+    gather is the default."""
+    env = _os.environ.get("UMETRACK_BILINEAR")
+    if env:
+        return env
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        on_tpu = False
+    return "pallas" if on_tpu else "gather1d"
 
 
 def bilinear_sample(
@@ -132,9 +154,11 @@ def bilinear_sample(
     Matches the reference resampler's out-of-bounds rule
     (data_transform.py:104-109): a sample is valid only when its floor cell
     has all four neighbors inside the image; invalid samples return 0.
-    Three equivalent implementations are selectable (see _SAMPLERS).
+    Four equivalent implementations are selectable (see _SAMPLERS); the
+    default is the Pallas MXU kernel, which A/B-benchmarks fastest on TPU
+    (scripts/profile_tracker.py --samplers).
     """
-    fn = _SAMPLERS[method or _DEFAULT_SAMPLER]
+    fn = _SAMPLERS[method or default_sampler()]
     return fn(image, coords)
 
 
@@ -165,9 +189,6 @@ def resample_images(
     t = resample_xfs[:, 0:3, 3]
     pts = jnp.einsum("nij,hwj->nhwi", r, grid) + t[:, None, None, :]
     coords = pts[..., 0:2] / pts[..., 2:3]
-
-    import jax
-
     return jax.vmap(bilinear_sample)(images, coords)
 
 
