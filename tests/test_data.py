@@ -247,3 +247,25 @@ def test_profiling_utils():
     rep = timers.report()
     assert "warp" in rep and "2 calls" in rep
     assert timers.items["warp"] == 200
+
+
+def test_preload_in_memory(tmp_path):
+    """IdxBinFile.preload (InMemoryTorchBin analog): identical reads with the
+    whole .bin held in RAM, no mmap."""
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (4, 3, 8, 8), dtype=np.uint8)
+    write_idxbin(str(tmp_path / "mono"), arr)
+
+    from umetrack_tpu.data.idxbin import IdxBinFile
+
+    lazy = IdxBinFile.open(str(tmp_path / "mono.torch.idx"))
+    hot = IdxBinFile.open(str(tmp_path / "mono.torch.idx")).preload()
+    assert isinstance(hot._mm, bytes)
+    for i in range(4):
+        np.testing.assert_array_equal(lazy[i], hot[i])
+        np.testing.assert_array_equal(hot[i], arr[i])
+
+    from umetrack_tpu.data.dataset import FolderDataset
+
+    ds = FolderDataset(str(tmp_path), ["mono"], preload=True)
+    np.testing.assert_array_equal(ds[2]["mono"], arr[2])

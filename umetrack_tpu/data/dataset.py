@@ -52,6 +52,7 @@ class FolderDataset:
     def __init__(
         self, folder: str, fields: Sequence[str],
         native: Optional[bool] = None,
+        preload: bool = False,
     ):
         import os
 
@@ -59,7 +60,10 @@ class FolderDataset:
         self.fields = tuple(fields)
         if native is None:
             native = os.environ.get("UMETRACK_NATIVE_IO", "1") != "0"
-        if native:
+        if preload:
+            # InMemoryTorchBin analog: whole .bin pulled into RAM up front.
+            opener = lambda p: IdxBinFile.open(p).preload()
+        elif native:
             from .native import open_idxbin as opener
         else:
             opener = IdxBinFile.open
@@ -91,10 +95,12 @@ class ConcatDataset:
 
 
 def find_dataset(
-    roots: Sequence[str] | str, fields: Sequence[str]
+    roots: Sequence[str] | str, fields: Sequence[str],
+    preload: bool = False,
 ) -> Dict[Split, ConcatDataset]:
     """Discover datasets under one or more roots, grouped by split (the leaf
-    folder name, async_dataset.py:325-413)."""
+    folder name, async_dataset.py:325-413).  ``preload`` pulls every .bin
+    into RAM up front (the reference's InMemoryTorchBin)."""
     if isinstance(roots, str):
         roots = [roots]
     by_split: Dict[Split, List[FolderDataset]] = {s: [] for s in Split}
@@ -103,7 +109,9 @@ def find_dataset(
             leaf = fs.basename(folder)
             for split in Split:
                 if leaf == split.value:
-                    by_split[split].append(FolderDataset(folder, fields))
+                    by_split[split].append(
+                        FolderDataset(folder, fields, preload=preload)
+                    )
     return {s: ConcatDataset(ds) for s, ds in by_split.items() if ds}
 
 

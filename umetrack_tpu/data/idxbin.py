@@ -136,6 +136,15 @@ class IdxBinFile:
                 self._mm = mmap.mmap(fp.fileno(), 0, access=mmap.ACCESS_READ)
         return self._mm
 
+    def preload(self) -> "IdxBinFile":
+        """Pull the whole .bin into RAM so later frame reads never touch
+        storage — the reference's ``InMemoryTorchBin``
+        (async_dataset.py:130-150).  Idempotent; returns self."""
+        if not isinstance(self._mm, bytes):
+            with open(self.bin_path, "rb") as fp:
+                self._mm = fp.read()
+        return self
+
     def frame_bytes(self, i: int) -> memoryview:
         lo, hi = int(self.byte_offsets[i]), int(self.byte_offsets[i + 1])
         return memoryview(self.mm)[lo:hi]
