@@ -45,6 +45,10 @@ def bench_ours(t_frames=16, n_seqs=64, pipeline_depth=4,
     import jax
     import jax.numpy as jnp
 
+    from umetrack_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from umetrack_tpu.models import init_model
     from umetrack_tpu.models.config import ModelConfig
     from umetrack_tpu.models.umetrack import TemporalState

@@ -284,6 +284,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     gaps, final = run_distillation(
         steps=args.steps,
         batch_size=args.batch_size,

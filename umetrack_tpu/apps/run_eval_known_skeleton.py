@@ -135,6 +135,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     model, variables = load_model(args.checkpoint)
     tracker = HandTracker(model, variables)
 

@@ -261,6 +261,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     model, variables = init_model(jax.random.PRNGKey(0))
     if args.checkpoint:
         if args.checkpoint.endswith(".torch"):

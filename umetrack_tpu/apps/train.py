@@ -239,6 +239,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     cfg = from_json(args.config) if args.config else Config()
     if args.data:
         cfg = Config(

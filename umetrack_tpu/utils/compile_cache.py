@@ -1,0 +1,28 @@
+"""Persistent XLA compilation cache.
+
+First compiles through the remote-TPU tunnel cost minutes; enabling JAX's
+persistent cache makes every later process reuse them from disk.  Called by
+bench.py and the app entry points; the cache lives inside the repo by
+default so driver re-runs stay warm.
+"""
+from __future__ import annotations
+
+import os
+
+DEFAULT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".jax_cache",
+)
+
+
+def enable_compile_cache(path: str | None = None) -> str:
+    """Idempotently point JAX's persistent compilation cache at ``path``
+    (default: <repo>/.jax_cache).  Safe to call before or after backend
+    init."""
+    import jax
+
+    path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", DEFAULT_DIR)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path
