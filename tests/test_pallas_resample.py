@@ -3,7 +3,10 @@ import numpy as np
 import jax.numpy as jnp
 
 from umetrack_tpu.ops import resample
-from umetrack_tpu.ops.pallas_resample import pallas_bilinear_sample
+from umetrack_tpu.ops.pallas_resample import (
+    pallas_bilinear_sample,
+    pallas_bilinear_sample_windowed,
+)
 
 
 def test_matches_gather_sampler_uint8():
@@ -30,6 +33,67 @@ def test_nonmultiple_of_128_pixels():
     )
     out = np.asarray(
         pallas_bilinear_sample(jnp.asarray(img), jnp.asarray(coords), interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-5)
+    assert out.shape == (37,)
+
+
+def test_windowed_matches_gather_sampler():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, size=(480, 640)).astype(np.float32)
+    # include out-of-bounds + window-edge-straddling samples
+    coords = rng.uniform(-10, 650, size=(96, 96, 2)).astype(np.float32)
+    coords[0, :, 0] = 127.5  # x corners straddle the 128-px window edge
+    coords[1, :, 1] = 255.5  # y corners straddle a window edge
+
+    ref = np.asarray(
+        resample.bilinear_sample(jnp.asarray(img), jnp.asarray(coords), "gather2d")
+    )
+    out = np.asarray(
+        pallas_bilinear_sample_windowed(
+            jnp.asarray(img), jnp.asarray(coords), interpret=True
+        )
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-5)
+
+
+def test_windowed_smooth_coords_hits_window_path():
+    """Crop-like smooth coords: every block fits its window, so this
+    exercises the windowed branch (random coords all fall back)."""
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 255, size=(480, 640)).astype(np.float32)
+    gy, gx = np.mgrid[0:96, 0:96].astype(np.float32)
+    # ~2.2 px/crop-px scale with a mild rotation, like a tracking crop
+    ang = 0.3
+    sx = 2.2 * (np.cos(ang) * gx - np.sin(ang) * gy) + 240.3
+    sy = 2.2 * (np.sin(ang) * gx + np.cos(ang) * gy) + 120.7
+    coords = np.stack([sx, sy], axis=-1)
+
+    ref = np.asarray(
+        resample.bilinear_sample(jnp.asarray(img), jnp.asarray(coords), "gather2d")
+    )
+    out = np.asarray(
+        pallas_bilinear_sample_windowed(
+            jnp.asarray(img), jnp.asarray(coords), interpret=True
+        )
+    )
+    # x64 test mode promotes the gather reference to f64; the kernel's f32
+    # lerp of 0..255-scale values carries ~255*2^-15 = 0.008 rounding.  The
+    # full-height kernel shows the identical delta on these coords.
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=1e-5)
+
+
+def test_windowed_nonmultiple_shapes():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, size=(480, 640)).astype(np.float32)
+    coords = rng.uniform(0, 470, size=(37, 2)).astype(np.float32)
+    ref = np.asarray(
+        resample.bilinear_sample(jnp.asarray(img), jnp.asarray(coords), "gather2d")
+    )
+    out = np.asarray(
+        pallas_bilinear_sample_windowed(
+            jnp.asarray(img), jnp.asarray(coords), interpret=True
+        )
     )
     np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-5)
     assert out.shape == (37,)

@@ -15,17 +15,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _DRIVER = r"""
 import numpy as np, jax, jax.numpy as jnp
-from umetrack_tpu.ops.pallas_resample import pallas_bilinear_sample
+from umetrack_tpu.ops.pallas_resample import (
+    pallas_bilinear_sample, pallas_bilinear_sample_windowed)
 from umetrack_tpu.ops.resample import bilinear_sample
 assert jax.devices()[0].platform != "cpu", jax.devices()
 rng = np.random.default_rng(0)
 img8 = jnp.asarray(rng.integers(0, 256, (480, 640)), jnp.uint8)
 coords = jnp.asarray(rng.uniform(-5, 650, (96, 96, 2)).astype(np.float32))
 for img in (img8, img8.astype(jnp.float32)):
-    out_p = np.asarray(pallas_bilinear_sample(img, coords))
     out_g = np.asarray(bilinear_sample(img, coords, method="gather1d"))
-    d = float(np.max(np.abs(out_p - out_g)))
-    assert d < 1e-3, (img.dtype, d)
+    for fn in (pallas_bilinear_sample, pallas_bilinear_sample_windowed):
+        out_p = np.asarray(fn(img, coords))
+        d = float(np.max(np.abs(out_p - out_g)))
+        assert d < 1e-3, (fn.__name__, img.dtype, d)
 print("PALLAS_TPU_EQUALITY_OK")
 """
 

@@ -116,11 +116,18 @@ def _bilinear_pallas(image, coords):
     return pallas_bilinear_sample(image, coords)
 
 
+def _bilinear_pallas_win(image, coords):
+    from .pallas_resample import pallas_bilinear_sample_windowed
+
+    return pallas_bilinear_sample_windowed(image, coords)
+
+
 _SAMPLERS = {
     "gather2d": _bilinear_gather2d,
     "gather1d": _bilinear_gather1d,
     "matmul": _bilinear_matmul,
     "pallas": _bilinear_pallas,
+    "pallas_win": _bilinear_pallas_win,
 }
 
 import os as _os
@@ -209,12 +216,21 @@ def fisheye_to_pinhole_coords(
     cy = dst_intrinsics[1, 2]
     qx = (px - cx) / fx
     qy = (py - cy) / fy
-    dirs = affine.normalized(
-        jnp.stack([qx, qy, jnp.ones_like(qx)], axis=-1)
-    )  # [h, w, 3] unit eye rays
 
-    world = affine.transform3(dst_T_world_from_eye, dirs)
-    src_eye = src_cam.world_to_eye(world)
+    # Fold (normalize -> dst eye->world -> world->src eye) into one 3x3 + an
+    # offset scaled by |d|: with d = (qx, qy, 1) the exact chain is
+    #   src_eye = (Rs^T Rd d + |d| * Rs^T (td - ts)) / |d|
+    # and the equidistant projection below is invariant under positive
+    # scaling, so the division (3 VPU divs per pixel) is dropped entirely.
+    t_src = src_cam.T_world_from_eye
+    r_src_t = jnp.swapaxes(t_src[..., :3, :3], -1, -2)
+    m = r_src_t @ dst_T_world_from_eye[:3, :3]
+    b = affine.transform_vec3(
+        r_src_t, dst_T_world_from_eye[:3, 3] - t_src[..., :3, 3]
+    )
+    d = jnp.stack([qx, qy, jnp.ones_like(qx)], axis=-1)  # [h, w, 3] eye rays
+    norm_d = jnp.sqrt(qx * qx + qy * qy + 1.0)[..., None]
+    src_eye = affine.transform_vec3(m, d) + norm_d * b
     p = arctan_project(src_eye)
     q = fisheye62_distort(src_cam.coeffs, p)
     win = q * src_cam.f + src_cam.c
