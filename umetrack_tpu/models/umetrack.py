@@ -101,6 +101,18 @@ def _scale_xf_inverse(s: jnp.ndarray) -> jnp.ndarray:
     return s.at[..., 2, 2].set(1.0 / s[..., 2, 2])
 
 
+def _wrist_to_world(
+    cam0_extrinsics: jnp.ndarray,  # [B, 4, 4] world->cam0
+    hand_idx: jnp.ndarray,  # [B]
+    wrist_cam0: jnp.ndarray,  # [B, 4, 4]
+) -> jnp.ndarray:
+    """cam0 -> world, then mirror the x basis column for right hands
+    (umetrack_model.py:77-90)."""
+    world = affine.rigid_inverse(cam0_extrinsics) @ wrist_cam0
+    sign = jnp.where(hand_idx == 1, -1.0, 1.0).astype(world.dtype)
+    return world.at[..., :, 0].multiply(sign[:, None])
+
+
 class UmeTrackNet(nn.Module):
     """Feature extractor + temporal cell + skeleton encoder + two regressors.
 
@@ -197,6 +209,39 @@ class UmeTrackNet(nn.Module):
 
     # ---- temporal -----------------------------------------------------------
 
+    def temporal_step(
+        self,
+        img_features: jnp.ndarray,  # [B, h, w, C_img]
+        mem_transform: jnp.ndarray,  # [B, 4, 4] f32 prev_cam0 -> cur_cam0
+        use_memory: jnp.ndarray,  # [B] bool
+        mem_features: jnp.ndarray,  # [B, h, w, C_mem]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """One conv-RNN cell step on precomputed inputs -> (fused, new_mem).
+
+        ``mem_transform`` is the motion-compensation transform
+        (temporal.py:51-78); callers that know the whole crop-camera
+        trajectory in advance (the sequence trackers) precompute it for all
+        frames and scan only this cell — the backbone never enters the scan.
+        """
+        cfg = self.config
+        # Warp math in f32, but activations back to compute dtype: the f32
+        # transform would otherwise promote mem_in and the concatenated
+        # temporal input, doubling activation bandwidth under bf16.
+        compensated = apply_ftl(
+            mem_transform, mem_features, cfg.temporal_ftl_ratio
+        ).astype(mem_features.dtype)
+        mem_in = jnp.where(
+            use_memory[:, None, None, None],
+            compensated,
+            jnp.zeros_like(mem_features),
+        )
+
+        tin = jnp.concatenate([mem_in, img_features], axis=-1)
+        tout = self.temporal(tin)
+        new_mem = tout[..., : cfg.n_memory_channels]
+        fused = tout[..., cfg.n_memory_channels:]
+        return fused, new_mem
+
     def _temporal_features(
         self,
         img_features: jnp.ndarray,
@@ -205,7 +250,6 @@ class UmeTrackNet(nn.Module):
     ) -> Tuple[jnp.ndarray, TemporalState]:
         """Motion-compensate memory, run the cell, emit new state
         (temporal.py:51-139)."""
-        cfg = self.config
         # Motion-compensation geometry always in f32 (a bf16 rigid inverse
         # drifts the memory warp); the cell itself runs in compute dtype.
         cur_e = frame.extrinsics[:, 0].astype(jnp.float32)
@@ -214,22 +258,9 @@ class UmeTrackNet(nn.Module):
         eye = jnp.broadcast_to(jnp.eye(4, dtype=cur_e.dtype), cur_e.shape)
         safe_prev = jnp.where(use_mem[:, None, None], state.prev_extrinsics, eye)
         prev_cam0_to_cur = cur_e @ affine.rigid_inverse(safe_prev)
-        # Warp math in f32, but activations back to compute dtype: the f32
-        # transform would otherwise promote mem_in and the concatenated
-        # temporal input, doubling activation bandwidth under bf16.
-        compensated = apply_ftl(
-            prev_cam0_to_cur, state.mem_features, cfg.temporal_ftl_ratio
-        ).astype(state.mem_features.dtype)
-        mem_in = jnp.where(
-            use_mem[:, None, None, None],
-            compensated,
-            jnp.zeros_like(state.mem_features),
+        fused, new_mem = self.temporal_step(
+            img_features, prev_cam0_to_cur, use_mem, state.mem_features
         )
-
-        tin = jnp.concatenate([mem_in, img_features], axis=-1)
-        tout = self.temporal(tin)
-        new_mem = tout[..., : cfg.n_memory_channels]
-        fused = tout[..., cfg.n_memory_channels:]
         return fused, TemporalState(mem_features=new_mem, prev_extrinsics=cur_e)
 
     # ---- output decode ------------------------------------------------------
@@ -239,10 +270,61 @@ class UmeTrackNet(nn.Module):
     ) -> jnp.ndarray:
         """cam0 -> world, then mirror the x basis column for right hands
         (umetrack_model.py:77-90)."""
-        cam0_e = frame.extrinsics[:, 0]
-        world = affine.rigid_inverse(cam0_e) @ wrist_cam0
-        sign = jnp.where(frame.hand_idx == 1, -1.0, 1.0).astype(world.dtype)
-        return world.at[..., :, 0].multiply(sign[:, None])
+        return _wrist_to_world(
+            frame.extrinsics[:, 0], frame.hand_idx, wrist_cam0
+        )
+
+    # ---- hoisted pieces (carry-independent; used by the sequence trackers) --
+
+    def extract_features(
+        self, frame: FrameInputs, train: bool = False
+    ) -> jnp.ndarray:
+        """Backbone + FTL + multi-view fusion only — everything in the model
+        forward that does NOT depend on the recurrent state.  The sequence
+        trackers run this once over all (sequence, time) rows merged into one
+        batch, so the MXU sees T*B crops per backbone call instead of B."""
+        return self._image_features(frame, train)
+
+    def encode_skeleton(
+        self, skeleton: SkeletonInputs, train: bool = False
+    ) -> jnp.ndarray:
+        """Skeleton-encoder features [Bs, h, w, C_skel] (constant over time)."""
+        return self.skeleton_encoder(
+            skeleton.joint_rotation_axes, skeleton.joint_rest_positions,
+            train=train,
+        )
+
+    def regress_known(
+        self,
+        fused: jnp.ndarray,  # [B, h, w, C_img] temporal-cell output
+        skel_feats: jnp.ndarray,  # [B or 1, h, w, C_skel]
+        hand_idx: jnp.ndarray,  # [B]
+        cam0_extrinsics: jnp.ndarray,  # [B, 4, 4] world->cam0 (meters)
+        train: bool = False,
+    ) -> RegressorOutput:
+        """Known-skeleton regressor head on precomputed temporal features;
+        batched over (sequence, time) by the sequence trackers."""
+        b = fused.shape[0]
+        if skel_feats.shape[0] == 1 and b > 1:
+            skel_feats = jnp.broadcast_to(skel_feats, (b, *skel_feats.shape[1:]))
+        x = jnp.concatenate([fused, skel_feats], axis=-1)
+        out = self.regressor_k(x, train=train)
+        return out.replace(
+            wrist_xfs=_wrist_to_world(cam0_extrinsics, hand_idx, out.wrist_xfs)
+        )
+
+    def regress_scale(
+        self,
+        fused: jnp.ndarray,
+        hand_idx: jnp.ndarray,
+        cam0_extrinsics: jnp.ndarray,
+        train: bool = False,
+    ) -> RegressorOutput:
+        """Scale-predicting regressor head on precomputed temporal features."""
+        out = self.regressor_u(fused, train=train)
+        return out.replace(
+            wrist_xfs=_wrist_to_world(cam0_extrinsics, hand_idx, out.wrist_xfs)
+        )
 
     # ---- public heads -------------------------------------------------------
 
@@ -257,18 +339,11 @@ class UmeTrackNet(nn.Module):
         (umetrack_model.py:188-219)."""
         img_features = self._image_features(frame, train)
         fused, new_state = self._temporal_features(img_features, frame, state)
-
-        skel_feats = self.skeleton_encoder(
-            skeleton.joint_rotation_axes, skeleton.joint_rest_positions,
+        skel_feats = self.encode_skeleton(skeleton, train=train)
+        out = self.regress_known(
+            fused, skel_feats, frame.hand_idx, frame.extrinsics[:, 0],
             train=train,
         )
-        b = fused.shape[0]
-        if skel_feats.shape[0] == 1 and b > 1:
-            skel_feats = jnp.broadcast_to(skel_feats, (b, *skel_feats.shape[1:]))
-
-        x = jnp.concatenate([fused, skel_feats], axis=-1)
-        out = self.regressor_k(x, train=train)
-        out = out.replace(wrist_xfs=self._wrist_to_world(frame, out.wrist_xfs))
         return out, new_state
 
     def predict_scale(
@@ -281,8 +356,9 @@ class UmeTrackNet(nn.Module):
         supply two-view samples only (umetrack_model.py:221-242)."""
         img_features = self._image_features(frame, train)
         fused, new_state = self._temporal_features(img_features, frame, state)
-        out = self.regressor_u(fused, train=train)
-        out = out.replace(wrist_xfs=self._wrist_to_world(frame, out.wrist_xfs))
+        out = self.regress_scale(
+            fused, frame.hand_idx, frame.extrinsics[:, 0], train=train
+        )
         return out, new_state
 
     def __call__(

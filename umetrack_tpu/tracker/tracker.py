@@ -21,7 +21,12 @@ import jax.numpy as jnp
 from ..geometry import affine
 from ..geometry.cameras import Fisheye62Camera
 from ..kinematics.hand import HandModel, scaled_hand_model
-from ..models.umetrack import FrameInputs, SkeletonInputs, UmeTrackNet
+from ..models.umetrack import (
+    FrameInputs,
+    SkeletonInputs,
+    TemporalState,
+    UmeTrackNet,
+)
 from ..ops.resample import warp_fisheye_to_pinhole
 from .crops import gen_crop_set, landmarks_from_pose
 from .types import (
@@ -228,41 +233,132 @@ def _model_scan(
     config: TrackerConfig,
     variables,
     crop_sets: CropSet,  # leaves [T, ...]
-    crop_images: jnp.ndarray,  # [T, 2, V, h, w]
+    crop_images: jnp.ndarray,  # [T, B, V, h, w]
     init_state: TrackState,
     skeleton: SkeletonInputs | None,
+    hand_idx: jnp.ndarray | None = None,  # [B]
 ) -> Tuple[FrameResult, TrackState]:
-    """Scan only the stateful part (conv-RNN forward + decode) over time."""
+    """Run the recurrent model over time with the backbone HOISTED out of
+    the scan.
 
-    def body(state: TrackState, xs):
-        crop_set, images = xs
-        frame = _frame_inputs_from_crops(
-            crop_set, images, state, config.enable_memory
-        )
-        if skeleton is not None:
-            out, new_temporal = model.apply(
-                variables, frame, skeleton, state.temporal,
-                method=UmeTrackNet.known_skeleton,
-            )
-        else:
-            out, new_temporal = model.apply(
-                variables, frame, state.temporal,
-                method=UmeTrackNet.predict_scale,
-            )
-        wrist_mm = out.wrist_xfs.at[..., :3, 3].multiply(M_TO_MM)
-        result = FrameResult(
-            joint_angles=out.joint_angles,
-            wrist_xfs=wrist_mm,
-            valid=crop_set.hand_valid,
-            n_views=crop_set.n_views,
-            predicted_scales=out.skel_scales,
-        )
-        new_state = TrackState(
-            temporal=new_temporal, valid_history=crop_set.hand_valid
-        )
-        return new_state, result
+    Only the 18-channel conv-RNN memory is genuinely recurrent; everything
+    else in the per-frame forward is carry-independent:
 
-    final_state, results = jax.lax.scan(body, init_state, (crop_sets, crop_images))
+    - image features (backbone + FTL + fusion, ~99% of model FLOPs) depend
+      only on that frame's crops -> one batched call over all T*B rows;
+    - the memory gate ``use_memory[t] = valid[t-1] & valid[t]`` and the
+      motion-compensation transform ``cam0[t-1] -> cam0[t]`` are functions
+      of the (precomputed) crop trajectory, not of the carry;
+    - the regressor head consumes the scanned cell's outputs -> one batched
+      call over T*B afterwards.
+
+    So the lax.scan body is just the 3x(1x1 conv) cell on [B, 6, 6, 90] —
+    the MXU sees T*B-sized batches for all the heavy work instead of B-sized
+    batches T times (the round-1 structure, which left the chip idle).
+    Flattening is B-major so a ``data``-sharded batch axis stays the leading
+    shard dim and the reshape never crosses device boundaries.
+    """
+    t, b = crop_images.shape[:2]
+    if hand_idx is None:
+        hand_idx = jnp.arange(2, dtype=jnp.int32)
+
+    # Dense per-frame geometry (state-independent; use_memory filled below).
+    dummy_state = TrackState(
+        temporal=init_state.temporal,
+        valid_history=jnp.zeros((b,), bool),
+    )
+    frames = jax.vmap(
+        lambda cs, im: _frame_inputs_from_crops(
+            cs, im, dummy_state, enable_memory=False, hand_idx=hand_idx
+        )
+    )(crop_sets, crop_images)  # leaves [T, B, ...]
+
+    # Recurrence inputs, precomputed for the whole trajectory.
+    hand_valid = crop_sets.hand_valid  # [T, B]
+    if config.enable_memory:
+        prev_valid = jnp.concatenate(
+            [init_state.valid_history[None], hand_valid[:-1]], axis=0
+        )
+        use_memory = prev_valid & hand_valid
+    else:
+        use_memory = jnp.zeros_like(hand_valid)
+    cur_e = frames.extrinsics[:, :, 0].astype(jnp.float32)  # [T, B, 4, 4]
+    prev_e = jnp.concatenate(
+        [init_state.temporal.prev_extrinsics[None].astype(jnp.float32),
+         cur_e[:-1]], axis=0,
+    )
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), prev_e.shape)
+    safe_prev = jnp.where(use_memory[..., None, None], prev_e, eye)
+    mem_xf = cur_e @ affine.rigid_inverse(safe_prev)  # [T, B, 4, 4]
+
+    # B-major flatten helpers ([T, B, ...] <-> [B*T, ...]).
+    def flat(a):
+        return jnp.moveaxis(a, 0, 1).reshape(b * t, *a.shape[2:])
+
+    def unflat(a):
+        return jnp.moveaxis(a.reshape(b, t, *a.shape[1:]), 0, 1)
+
+    # 1) image features for ALL frames in one backbone batch
+    feats_flat = model.apply(
+        variables, jax.tree_util.tree_map(flat, frames),
+        method=UmeTrackNet.extract_features,
+    )  # [B*T, h, w, C]
+    feats_t = unflat(feats_flat)
+
+    # 2) scan only the conv-RNN cell
+    def body(mem, xs):
+        f, xf, um = xs
+        fused, new_mem = model.apply(
+            variables, f, xf, um, mem, method=UmeTrackNet.temporal_step
+        )
+        return new_mem, fused
+
+    mem_final, fused_t = jax.lax.scan(
+        body, init_state.temporal.mem_features, (feats_t, mem_xf, use_memory)
+    )
+
+    # 3) regressor head for ALL frames in one batch
+    fused_flat = flat(fused_t)
+    extr0_flat = flat(frames.extrinsics[:, :, 0])
+    hand_idx_flat = flat(
+        jnp.broadcast_to(hand_idx[None], (t, b)).astype(jnp.int32)
+    )
+    if skeleton is not None:
+        skel_feats = model.apply(
+            variables, skeleton, method=UmeTrackNet.encode_skeleton
+        )  # [Bs, h, w, C]
+        if skel_feats.shape[0] == 1:
+            skel_feats = jnp.broadcast_to(
+                skel_feats, (b, *skel_feats.shape[1:])
+            )
+        skel_flat = jnp.broadcast_to(
+            skel_feats[:, None], (b, t, *skel_feats.shape[1:])
+        ).reshape(b * t, *skel_feats.shape[1:])
+        out_flat = model.apply(
+            variables, fused_flat, skel_flat, hand_idx_flat, extr0_flat,
+            method=UmeTrackNet.regress_known,
+        )
+    else:
+        out_flat = model.apply(
+            variables, fused_flat, hand_idx_flat, extr0_flat,
+            method=UmeTrackNet.regress_scale,
+        )
+    out = jax.tree_util.tree_map(unflat, out_flat)
+
+    wrist_mm = out.wrist_xfs.at[..., :3, 3].multiply(M_TO_MM)
+    results = FrameResult(
+        joint_angles=out.joint_angles,
+        wrist_xfs=wrist_mm,
+        valid=hand_valid,
+        n_views=crop_sets.n_views,
+        predicted_scales=out.skel_scales,
+    )
+    final_state = TrackState(
+        temporal=TemporalState(
+            mem_features=mem_final, prev_extrinsics=cur_e[-1]
+        ),
+        valid_history=hand_valid[-1],
+    )
     return results, final_state
 
 
@@ -332,37 +428,13 @@ def _merged_scan(
     skeleton: SkeletonInputs | None,  # [2S, ...] rows or None (scale head)
     hand_idx: jnp.ndarray,  # [2S]
 ) -> Tuple[FrameResult, TrackState]:
-    """Recurrent scan over time with 2S merged hand rows per model call."""
-
-    def body(state: TrackState, xs):
-        crop_set, images = xs
-        frame = _frame_inputs_from_crops(
-            crop_set, images, state, config.enable_memory, hand_idx=hand_idx
-        )
-        if skeleton is not None:
-            out, new_temporal = model.apply(
-                variables, frame, skeleton, state.temporal,
-                method=UmeTrackNet.known_skeleton,
-            )
-        else:
-            out, new_temporal = model.apply(
-                variables, frame, state.temporal,
-                method=UmeTrackNet.predict_scale,
-            )
-        wrist_mm = out.wrist_xfs.at[..., :3, 3].multiply(M_TO_MM)
-        result = FrameResult(
-            joint_angles=out.joint_angles,
-            wrist_xfs=wrist_mm,
-            valid=crop_set.hand_valid,
-            n_views=crop_set.n_views,
-            predicted_scales=out.skel_scales,
-        )
-        new_state = TrackState(
-            temporal=new_temporal, valid_history=crop_set.hand_valid
-        )
-        return new_state, result
-
-    return jax.lax.scan(body, init_state, (crop_sets_t, crop_images_t))
+    """Hoisted recurrent model over 2S merged hand rows (lax.scan returns
+    (carry, ys); _model_scan returns (ys, carry) — swap)."""
+    results, final_state = _model_scan(
+        model, config, variables, crop_sets_t, crop_images_t, init_state,
+        skeleton, hand_idx=hand_idx,
+    )
+    return final_state, results
 
 
 @partial(jax.jit, static_argnames=("model", "config", "min_num_crops"))
