@@ -22,9 +22,12 @@ import time
 
 import numpy as np
 
-# Model FLOPs per tracked frame (2 hands x 2 views x ~1.0 GFLOP backbone
-# per 96x96 crop + ~0.04 GFLOP fusion/temporal/regressor; SURVEY §2.4).
-MODEL_FLOPS_PER_FRAME = 4.0e9
+# Analytic fallback if XLA cost analysis is unavailable: model FLOPs per
+# tracked frame (2 hands x 2 views x ~1.0 GFLOP backbone per 96x96 crop +
+# ~0.04 GFLOP fusion/temporal/regressor; SURVEY §2.4).  The reported MFU is
+# normally derived from compiled.cost_analysis()['flops'] — the FLOPs XLA
+# actually scheduled, warp kernels included.
+MODEL_FLOPS_PER_FRAME_FALLBACK = 4.0e9
 TPU_V5E_BF16_PEAK = 197e12
 
 
@@ -41,7 +44,7 @@ def bench_ours(t_frames=16, n_seqs=64, pipeline_depth=4,
     throughput with host->device transfer amortized away — the production
     input pipeline overlaps transfers with compute (apps/sequence_eval.py).
     """
-    os.environ.setdefault("UMETRACK_BILINEAR", "pallas")
+    os.environ.setdefault("UMETRACK_BILINEAR", "pallas_win")
     import jax
     import jax.numpy as jnp
 
@@ -99,14 +102,29 @@ def bench_ours(t_frames=16, n_seqs=64, pipeline_depth=4,
         dt_prep = timed(prep_only, rigs, seqs, hands)
 
     # --- fused tracker ----------------------------------------------------
+    @jax.jit
     def submit(seqs_in):
         res, _ = track_sequences_batched(
             model, cfg, variables, rigs, seqs_in, state, hands
         )
         return res
 
-    res = submit(seqs)
-    np.asarray(res.joint_angles)  # warmup incl. compile
+    # Compile explicitly so the executable's XLA cost analysis (the FLOPs
+    # the compiler actually scheduled, warp kernels included) can back the
+    # MFU claim instead of a hand-derived constant.
+    compiled = submit.lower(seqs).compile()
+    flops_per_frame = None
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0] if ca else None
+        if ca and ca.get("flops"):
+            flops_per_frame = float(ca["flops"]) / n_frames
+    except Exception:
+        pass
+
+    res = compiled(seqs)
+    np.asarray(res.joint_angles)  # warmup
 
     variants = [
         seqs.replace(images=seqs.images + jnp.uint8(i + 1))
@@ -116,14 +134,19 @@ def bench_ours(t_frames=16, n_seqs=64, pipeline_depth=4,
         np.asarray(v.images[0, 0, 0, 0, 0])  # materialize inputs on device
 
     t0 = time.perf_counter()
-    outs = [submit(v) for v in variants]
+    outs = [compiled(v) for v in variants]
     for o in outs:
         np.asarray(o.joint_angles)  # completion barrier
     dt = time.perf_counter() - t0
     dt_frame = dt / pipeline_depth
 
     fps = n_frames / dt_frame
-    model_tflops = n_frames * MODEL_FLOPS_PER_FRAME / dt_frame / 1e12
+    if flops_per_frame is not None:
+        flop_src = "XLA-counted"
+    else:
+        flop_src = "analytic-fallback"
+        flops_per_frame = MODEL_FLOPS_PER_FRAME_FALLBACK
+    tflops = n_frames * flops_per_frame / dt_frame / 1e12
     prep_txt = (
         f"prep {dt_prep*1e3:.1f} ms (scan-ish {(dt_frame-dt_prep)*1e3:.1f} "
         f"ms), " if dt_prep is not None else ""
@@ -132,9 +155,9 @@ def bench_ours(t_frames=16, n_seqs=64, pipeline_depth=4,
         f"[bench] dtype={compute_dtype} sampler="
         f"{os.environ.get('UMETRACK_BILINEAR')} S={n_seqs} T={t_frames}: "
         f"{prep_txt}fused {dt_frame*1e3:.1f} ms, "
-        f"{fps:.0f} frames/s, model {model_tflops:.1f} TFLOP/s "
-        f"(~{100*model_tflops*1e12/TPU_V5E_BF16_PEAK:.1f}% bf16-peak MFU on "
-        f"model FLOPs alone; warps add ~11 GFLOP/frame on the MXU)",
+        f"{fps:.0f} frames/s, {tflops:.1f} TFLOP/s on {flop_src} "
+        f"{flops_per_frame/1e9:.2f} GFLOP/frame "
+        f"(~{100*tflops*1e12/TPU_V5E_BF16_PEAK:.1f}% of bf16 peak)",
         file=sys.stderr, flush=True,
     )
     return fps

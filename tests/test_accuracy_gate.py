@@ -1,0 +1,58 @@
+"""Accuracy gate: the committed trained checkpoint must track a held-out
+rendered synthetic sequence to the BASELINE.md north-star threshold
+(<= 10.0 mm MPJPE, known-skeleton separate-hand protocol).
+
+The checkpoint is produced by ``scripts/accuracy_loop.py`` (corpus ->
+TBPTT training -> four-cell eval; see RESULTS.md).  The gate sequence seed
+is far outside the training corpus' seed range and the eval app's seeds, so
+this is genuinely held-out data.
+"""
+import os
+
+import numpy as np
+import pytest
+
+CKPT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "checkpoints", "synthetic.msgpack",
+)
+
+GATE_MM = 10.0
+GATE_SEED = 901  # held out: corpus uses 0..49_999 / 50_000.., eval apps 0..N
+
+
+@pytest.mark.skipif(
+    not os.path.exists(CKPT),
+    reason="trained checkpoint not present (run scripts/accuracy_loop.py)",
+)
+def test_known_skeleton_mpjpe_gate():
+    import jax
+
+    from umetrack_tpu.models import init_model
+    from umetrack_tpu.tracker import HandTracker, sequence_landmarks
+    from umetrack_tpu.utils import synthetic
+    from umetrack_tpu.utils.checkpoints import load_checkpoint
+
+    model, variables = init_model(jax.random.PRNGKey(0))
+    variables = load_checkpoint(CKPT, variables)
+
+    labels, images = synthetic.make_labels_dict(
+        32, rng_seed=GATE_SEED, hand_scale=1.07
+    )
+    rig, seq, hand = synthetic.our_sequence(labels, images)
+
+    tracker = HandTracker(model, variables)
+    results, _ = tracker.track_sequence(rig, seq, hand)
+
+    tracked_lm = np.asarray(
+        sequence_landmarks(hand, results.joint_angles, results.wrist_xfs)
+    )
+    gt_lm = np.asarray(
+        sequence_landmarks(hand, seq.gt_joint_angles, seq.gt_wrist_xfs)
+    )
+    valid = np.asarray(results.valid)  # [T, 2]
+
+    err = np.linalg.norm(tracked_lm - gt_lm, axis=-1).mean(axis=-1)  # [T, 2]
+    mpjpe = float(err[valid].mean())
+    assert valid.any()
+    assert mpjpe <= GATE_MM, f"MPJPE {mpjpe:.2f} mm exceeds gate {GATE_MM} mm"

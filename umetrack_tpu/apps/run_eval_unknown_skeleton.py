@@ -44,13 +44,17 @@ def main(argv=None):
                         help="streaming decode/track chunk length (frames)")
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--synthetic-frames", type=int, default=64)
+    parser.add_argument("--synthetic-mode", default="separate",
+                        choices=["separate", "hand_hand"])
+    parser.add_argument("--synthetic-scale-jitter", type=float, default=0.15)
+    from .common import add_runtime_flags, setup_runtime
+
+    add_runtime_flags(parser)
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
-    from ..utils.compile_cache import enable_compile_cache
-
-    enable_compile_cache()
-    model, variables = load_model(args.checkpoint)
+    args.rank, args.world_size = setup_runtime(args)
+    model, variables = load_model(args.checkpoint, args.dtype)
     tracker = HandTracker(model, variables)
     generic = load_hand_model_json(args.generic_hand_model)
 
@@ -59,9 +63,13 @@ def main(argv=None):
         from ..tracker.video import SequenceData
         from ..utils import synthetic
 
+        from .run_eval_known_skeleton import synthetic_scale
+
         for i in range(args.synthetic):
             labels, images = synthetic.make_labels_dict(
-                args.synthetic_frames, rng_seed=i
+                args.synthetic_frames, rng_seed=i,
+                mode=args.synthetic_mode,
+                hand_scale=synthetic_scale(i, args.synthetic_scale_jitter),
             )
             rig, obs_seq, hand = synthetic.our_sequence(labels, images)
             seq = SequenceData(

@@ -75,27 +75,40 @@ def _build_train_batch(raw_batch, crop_size) -> TrainBatch:
 
 
 @partial(jax.jit, static_argnames=("crop_size", "window"))
-def _build_temporal_batch(raw_batch, crop_size, window) -> TemporalTrainBatch:
+def _build_temporal_batch(
+    raw_batch, crop_size, window, t0=None
+) -> TemporalTrainBatch:
     """K-frame supervised windows for TBPTT: the conv-RNN memory is trained
     through time (use_memory False at k=0 then True), with real frame-to-
     frame extrinsics motion so the FTL compensation is in the gradient path
-    (reference temporal.py:93-139)."""
+    (reference temporal.py:93-139).
+
+    ``t0`` (traced scalar) picks the window start — the loader passes a
+    random offset per batch so successive epochs see different windows of
+    each sequence; default = centered.
+    """
     model_input, target = jax.vmap(
         lambda r: preprocess_sequence(r, crop_size)
     )(raw_batch)
     b, t = model_input.left_images.shape[:2]
     k = min(window, t)
-    t0 = (t - k) // 2
+    if t0 is None:
+        t0 = (t - k) // 2
+    t0 = jnp.clip(jnp.asarray(t0, jnp.int32), 0, t - k)
     v = model_input.left_images.shape[2]
+
+    def win(a):
+        return jax.lax.dynamic_slice_in_dim(a, t0, k, axis=1)
+
     use_memory = jnp.broadcast_to(
         jnp.arange(k, dtype=jnp.int32) > 0, (b, k)
     )
     frames = FrameInputs(
-        images=model_input.left_images[:, t0:t0 + k],
-        intrinsics=model_input.intrinsics[:, t0:t0 + k],
-        extrinsics=model_input.extrinsics_xf[:, t0:t0 + k],
+        images=win(model_input.left_images),
+        intrinsics=win(model_input.intrinsics),
+        extrinsics=win(model_input.extrinsics_xf),
         n_views=jnp.full((b, k), v, jnp.int32),
-        hand_idx=model_input.hand_idx[:, t0:t0 + k].astype(jnp.int32),
+        hand_idx=win(model_input.hand_idx).astype(jnp.int32),
         use_memory=use_memory,
     )
     hand = model_input.orig_pose_data.left_hand_model
@@ -106,20 +119,21 @@ def _build_temporal_batch(raw_batch, crop_size, window) -> TemporalTrainBatch:
     return TemporalTrainBatch(
         frames=frames,
         skeleton=skeleton,
-        gt_joint_angles=target.gt_joint_angles[:, t0:t0 + k],
-        gt_wrist_world=target.gt_wrist_xfs[:, t0:t0 + k],
+        gt_joint_angles=win(target.gt_joint_angles),
+        gt_wrist_world=win(target.gt_wrist_xfs),
         hand=hand,
         gt_scales=None if target.gt_scale is None else target.gt_scale,
     )
 
 
-def _batch_from_sequences(items, crop_size, window: int = 1):
+def _batch_from_sequences(items, crop_size, window: int = 1, t0=None):
     """Preprocess a list of raw sequences on device; one frame per sequence
-    when ``window`` is 1, else a K-frame TBPTT window per sequence."""
+    when ``window`` is 1, else a K-frame TBPTT window per sequence starting
+    at ``t0`` (random per batch when the loader provides it)."""
     raws = [parse_raw_buffers(it["mono"], it["labels"]) for it in items]
-    raw_batch = bundles.collate([jax.device_get(r) for r in raws])
+    raw_batch = bundles.collate(raws)
     if window > 1:
-        return _build_temporal_batch(raw_batch, tuple(crop_size), window)
+        return _build_temporal_batch(raw_batch, tuple(crop_size), window, t0)
     return _build_train_batch(raw_batch, tuple(crop_size))
 
 
@@ -145,6 +159,8 @@ def dataset_batches(cfg: Config) -> Iterator[TrainBatch]:
     dataset = datasets[Split.TRAIN]
     logger.info("training sequences: %d", len(dataset))
     epoch = 0
+    k = cfg.train.tbptt_window
+    rng_t0 = np.random.default_rng(cfg.data.shuffle_seed + 12345)
     while True:
         sampler = Sampler(
             len(dataset), shuffle=True, seed=cfg.data.shuffle_seed + epoch,
@@ -157,8 +173,14 @@ def dataset_batches(cfg: Config) -> Iterator[TrainBatch]:
         ):
             batch.append(item)
             if len(batch) == cfg.train.batch_size:
+                t0 = None
+                if k > 1:
+                    t_len = int(batch[0]["mono"].shape[0])
+                    t0 = jnp.asarray(
+                        rng_t0.integers(0, max(t_len - k, 0) + 1), jnp.int32
+                    )
                 yield _batch_from_sequences(
-                    batch, cfg.data.crop_size, cfg.train.tbptt_window
+                    batch, cfg.data.crop_size, k, t0
                 )
                 batch = []
         epoch += 1
@@ -166,7 +188,13 @@ def dataset_batches(cfg: Config) -> Iterator[TrainBatch]:
 
 def run_training(cfg: Config, batches: Iterator[TrainBatch], num_steps=None):
     model, variables = init_model(jax.random.PRNGKey(0), cfg.model)
-    mesh = make_mesh(model_axis=cfg.mesh.model_axis)
+    devices = jax.devices()
+    ma = cfg.mesh.model_axis or (2 if len(devices) % 2 == 0 else 1)
+    # The data axis cannot exceed the per-step batch (device_put of a [B]
+    # leaf over more than B shards is invalid), so small-batch runs use a
+    # subset of the devices.
+    data_size = max(1, min(len(devices) // ma, cfg.train.batch_size))
+    mesh = make_mesh(devices[: data_size * ma], model_axis=ma)
     logger.info("mesh: %s", dict(mesh.shape))
     variables = shard_variables(variables, mesh)
 

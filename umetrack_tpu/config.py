@@ -28,8 +28,10 @@ class DataConfig:
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
-    # 0 = auto (2 when the device count is even)
-    model_axis: int = 0
+    # Tensor-parallel axis size; 1 = pure data parallelism (the measured
+    # default — TP loses at this model size, see parallel/mesh.py), 0 = auto
+    # (2 when the device count is even).
+    model_axis: int = 1
     # process-level sharding for host-local work (video decode)
     rank: int = 0
     world_size: int = 1

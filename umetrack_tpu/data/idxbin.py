@@ -168,9 +168,11 @@ class IdxBinFile:
         )
 
     def close(self):
-        if self._mm is not None:
+        # After preload() the backing store is a plain bytes object (nothing
+        # to release); only a live mmap needs closing.
+        if self._mm is not None and not isinstance(self._mm, bytes):
             self._mm.close()
-            self._mm = None
+        self._mm = None
 
 
 # -- writer -------------------------------------------------------------------

@@ -72,14 +72,18 @@ class ModelTarget:
 
 def parse_raw_buffers(mono: np.ndarray, labels: Dict[str, Any]) -> RawSequence:
     """msgpack label dict + mono tensor -> typed RawSequence
-    (reference sample.py:42-53 schema)."""
-    def np32(v):
-        return jnp.asarray(np.asarray(v, np.float32))
+    (reference sample.py:42-53 schema).
 
-    fields: Dict[str, Any] = {"images": jnp.asarray(mono)}
+    Host-side only: every leaf is a numpy array, so the parse can run inside
+    prefetch worker threads with no device round-trip; the single upload
+    happens at the jitted consumer's argument transfer."""
+    def np32(v):
+        return np.asarray(v, np.float32)
+
+    fields: Dict[str, Any] = {"images": np.asarray(mono)}
     for key, value in labels.items():
         if "hand_model" in key:
-            fields[key] = from_dict(value)
+            fields[key] = from_dict(value, np_arrays=True)
         else:
             fields[key] = np32(value)
     return RawSequence(

@@ -73,13 +73,21 @@ class HandModel:
     dense_bone_weights: Optional[jnp.ndarray] = None
 
 
-def from_dict(d: Dict[str, Any], dtype=jnp.float32) -> HandModel:
+def from_dict(
+    d: Dict[str, Any], dtype=jnp.float32, np_arrays: bool = False
+) -> HandModel:
     """Build a HandModel from the JSON/msgpack dict schema used by the
-    reference datasets (video_pose_data.py:63-72, sample.py:42-53)."""
+    reference datasets (video_pose_data.py:63-72, sample.py:42-53).
+
+    ``np_arrays=True`` keeps leaves as host numpy arrays — used by data
+    loaders running in prefetch worker threads, so parsing never triggers a
+    device transfer (the upload happens once, at the jitted consumer)."""
     def arr(key, as_int=False):
         if key not in d or d[key] is None:
             return None
         a = np.asarray(d[key])
+        if np_arrays:
+            return a.astype(np.int32 if as_int else np.dtype(dtype))
         return jnp.asarray(a, dtype=jnp.int32 if as_int else dtype)
 
     return HandModel(

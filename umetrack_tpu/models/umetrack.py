@@ -101,6 +101,24 @@ def _scale_xf_inverse(s: jnp.ndarray) -> jnp.ndarray:
     return s.at[..., 2, 2].set(1.0 / s[..., 2, 2])
 
 
+def memory_motion_transform(
+    cur_extrinsics: jnp.ndarray,  # [..., 4, 4] f32 world->cur_cam0
+    prev_extrinsics: jnp.ndarray,  # [..., 4, 4] f32 world->prev_cam0
+    use_memory: jnp.ndarray,  # [...] bool
+) -> jnp.ndarray:  # [..., 4, 4] prev_cam0 -> cur_cam0
+    """Gated motion-compensation transform for the conv-RNN memory
+    (temporal.py:51-78): rows without valid memory substitute identity for
+    ``prev`` so the transform stays finite (the memory itself is zeroed by
+    the gate).  Shared by the streaming step (``_temporal_features``) and the
+    hoisted sequence scan (``tracker._model_scan``) so the two paths cannot
+    drift apart."""
+    eye = jnp.broadcast_to(
+        jnp.eye(4, dtype=jnp.float32), prev_extrinsics.shape
+    )
+    safe_prev = jnp.where(use_memory[..., None, None], prev_extrinsics, eye)
+    return cur_extrinsics @ affine.rigid_inverse(safe_prev)
+
+
 def _wrist_to_world(
     cam0_extrinsics: jnp.ndarray,  # [B, 4, 4] world->cam0
     hand_idx: jnp.ndarray,  # [B]
@@ -254,10 +272,9 @@ class UmeTrackNet(nn.Module):
         # drifts the memory warp); the cell itself runs in compute dtype.
         cur_e = frame.extrinsics[:, 0].astype(jnp.float32)
         use_mem = frame.use_memory
-
-        eye = jnp.broadcast_to(jnp.eye(4, dtype=cur_e.dtype), cur_e.shape)
-        safe_prev = jnp.where(use_mem[:, None, None], state.prev_extrinsics, eye)
-        prev_cam0_to_cur = cur_e @ affine.rigid_inverse(safe_prev)
+        prev_cam0_to_cur = memory_motion_transform(
+            cur_e, state.prev_extrinsics, use_mem
+        )
         fused, new_mem = self.temporal_step(
             img_features, prev_cam0_to_cur, use_mem, state.mem_features
         )

@@ -137,10 +137,11 @@ import os as _os
 
 
 def default_sampler() -> str:
-    """On TPU the Pallas MXU kernel wins the A/B by 6.6x over the XLA
-    gather (scripts/profile_tracker.py --samplers: 92 vs 607 us/warp on
-    v5e); elsewhere (CPU tests, interpret-less platforms) the portable
-    gather is the default."""
+    """On TPU the windowed Pallas MXU kernel wins the A/B
+    (scripts/profile_tracker.py --samplers on v5e: 53.5 us/warp windowed vs
+    66.4 full-height vs 613 XLA gather — 11.5x over the gather); elsewhere
+    (CPU tests, interpret-less platforms) the portable gather is the
+    default."""
     env = _os.environ.get("UMETRACK_BILINEAR")
     if env:
         return env
@@ -148,7 +149,7 @@ def default_sampler() -> str:
         on_tpu = jax.default_backend() in ("tpu", "axon")
     except Exception:
         on_tpu = False
-    return "pallas" if on_tpu else "gather1d"
+    return "pallas_win" if on_tpu else "gather1d"
 
 
 def bilinear_sample(

@@ -18,12 +18,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(
     devices: Optional[Sequence] = None,
-    model_axis: int = 0,
+    model_axis: int = 1,
 ) -> Mesh:
     """Mesh over ``devices`` shaped (data, model).
 
-    ``model_axis``: size of the tensor-parallel axis; 0 picks 2 when the
-    device count allows, else 1.
+    ``model_axis``: size of the tensor-parallel axis.  The default is 1
+    (pure data parallelism): at ~1M params the conv stacks are far too small
+    for channel sharding to pay for its collectives — measured on the
+    8-device virtual mesh, (data=4, model=2) evaluates ~2x slower than
+    (data=8,) (scripts/scaling_bench.py).  TP remains available behind the
+    flag for experiments; 0 = auto picks 2 when the device count is even.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)

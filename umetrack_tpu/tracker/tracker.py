@@ -26,6 +26,7 @@ from ..models.umetrack import (
     SkeletonInputs,
     TemporalState,
     UmeTrackNet,
+    memory_motion_transform,
 )
 from ..ops.resample import warp_fisheye_to_pinhole
 from .crops import gen_crop_set, landmarks_from_pose
@@ -100,6 +101,10 @@ def _frame_inputs_from_crops(
         use_memory = jnp.zeros_like(use_memory)
 
     if hand_idx is None:
+        assert crop_images.shape[0] == 2, (
+            "default hand_idx assumes the [left, right] 2-hand layout; pass "
+            "hand_idx explicitly for other batches"
+        )
         hand_idx = jnp.arange(2, dtype=jnp.int32)
     return FrameInputs(
         images=crop_images,
@@ -260,9 +265,18 @@ def _model_scan(
     """
     t, b = crop_images.shape[:2]
     if hand_idx is None:
+        # Default only covers the single-sequence [left, right] layout; any
+        # other merged batch must pass its hand pattern explicitly.
+        assert b == 2, (
+            f"default hand_idx assumes batch of 2 hand rows, got b={b}; "
+            "pass hand_idx explicitly for merged batches"
+        )
         hand_idx = jnp.arange(2, dtype=jnp.int32)
 
-    # Dense per-frame geometry (state-independent; use_memory filled below).
+    # Dense per-frame geometry (state-independent).  use_memory inside
+    # ``frames`` is an all-False placeholder — the real gate is the
+    # ``use_memory`` trajectory computed below from the crop validity run;
+    # extract_features ignores the field entirely.
     dummy_state = TrackState(
         temporal=init_state.temporal,
         valid_history=jnp.zeros((b,), bool),
@@ -287,9 +301,7 @@ def _model_scan(
         [init_state.temporal.prev_extrinsics[None].astype(jnp.float32),
          cur_e[:-1]], axis=0,
     )
-    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), prev_e.shape)
-    safe_prev = jnp.where(use_memory[..., None, None], prev_e, eye)
-    mem_xf = cur_e @ affine.rigid_inverse(safe_prev)  # [T, B, 4, 4]
+    mem_xf = memory_motion_transform(cur_e, prev_e, use_memory)  # [T,B,4,4]
 
     # B-major flatten helpers ([T, B, ...] <-> [B*T, ...]).
     def flat(a):

@@ -1,9 +1,16 @@
-"""Synthetic multi-view sequence generator (tests, benchmarks, demos).
+"""Synthetic multi-view sequence generator (tests, benchmarks, training).
 
 Builds a 4-camera fisheye rig around a hand-sized workspace, animates GT
-poses from the generic hand model, and renders smooth pseudo-images.  Real
-UmeTrack_data is not bundled with this checkout; this generator exercises
-the full pipeline with the same shapes/units/schemas.
+poses from the generic hand model, and *renders the hands geometrically*
+(bones + joints projected through the real camera models, drawn over smooth
+noise) so the GT pose is inferable from pixels — which makes the synthetic
+corpus trainable, closing the accuracy loop without the absent
+UmeTrack_data (reference .MISSING_LARGE_BLOBS:1).
+
+Two protocols mirror the reference eval table (load_eval.py:92-105):
+``mode="separate"`` keeps the hands apart; ``mode="hand_hand"`` drives them
+through each other's view cones with crossing motion and mutual occlusion.
+Per-sequence ``hand_scale`` exercises the unknown-skeleton calibration.
 """
 from __future__ import annotations
 
@@ -67,26 +74,30 @@ def look_at_pose(position, target):
     return m
 
 
-def make_camera_poses():
-    """Four cameras ~450 mm out, looking at the origin (mm world units)."""
-    positions = np.array(
-        [
-            [-120.0, -60.0, -430.0],
-            [120.0, -60.0, -430.0],
-            [-150.0, 80.0, -410.0],
-            [150.0, 80.0, -410.0],
-        ]
-    )
-    return np.stack([look_at_pose(p, np.zeros(3)) for p in positions]).astype(
-        np.float32
-    )
+CAM_POSITIONS = np.array(
+    [
+        [-120.0, -60.0, -430.0],
+        [120.0, -60.0, -430.0],
+        [-150.0, 80.0, -410.0],
+        [150.0, 80.0, -410.0],
+    ]
+)
 
 
-def smooth_images(rng, t, n=N_CAMS, h=480, w=640):
+def make_camera_poses(target=None):
+    """Four cameras ~450 mm out, looking at ``target`` (default origin; mm
+    world units)."""
+    target = np.zeros(3) if target is None else np.asarray(target, np.float64)
+    return np.stack(
+        [look_at_pose(p, target) for p in CAM_POSITIONS]
+    ).astype(np.float32)
+
+
+def smooth_images(rng, t, n=N_CAMS, h=480, w=640, lo=40, hi=220):
     """Temporally-varying smooth noise images, uint8 [T, N, H, W]."""
     import cv2
 
-    base = rng.uniform(40, 220, size=(t, n, 15, 20)).astype(np.float32)
+    base = rng.uniform(lo, hi, size=(t, n, 15, 20)).astype(np.float32)
     out = np.empty((t, n, h, w), np.uint8)
     for i in range(t):
         for c in range(n):
@@ -95,12 +106,197 @@ def smooth_images(rng, t, n=N_CAMS, h=480, w=640):
     return out
 
 
-def make_gt_motion(rng, t, hand_dict):
+# -- geometric hand rendering -------------------------------------------------
+
+# Landmark topology for drawing, in the reference LANDMARK enum order
+# (/root/reference/lib/common/hand.py:24-45): 0-4 fingertips
+# (thumb..pinky), 5 wrist, 6-7 thumb frames, 8-19 proximal/intermediate/
+# distal frames per finger, 20 palm center.
+_BONES = (
+    (5, 6), (6, 7), (7, 0),
+    (5, 8), (8, 9), (9, 10), (10, 1),
+    (5, 11), (11, 12), (12, 13), (13, 2),
+    (5, 14), (14, 15), (15, 16), (16, 3),
+    (5, 17), (17, 18), (18, 19), (19, 4),
+    (5, 20),
+)
+# Per-bone gray level: one band per finger so the digits are visually
+# distinguishable in a mono image.
+_BONE_GRAY = (
+    150, 150, 150,
+    170, 170, 170, 170,
+    190, 190, 190, 190,
+    210, 210, 210, 210,
+    230, 230, 230, 230,
+    140,
+)
+
+
+def _project_fisheye_np(v_eye: np.ndarray, cam_js: dict) -> np.ndarray:
+    """[..., 3] eye points -> [..., 2] pixels; numpy mirror of
+    geometry/cameras.py arctan_project + fisheye62_distort (reference
+    camera.py:78-141)."""
+    x, y, z = v_eye[..., 0], v_eye[..., 1], v_eye[..., 2]
+    r = np.sqrt(x * x + y * y)
+    s = np.arctan2(r, z) / np.maximum(r, 1e-18)
+    p = np.stack([x * s, y * s], axis=-1)
+
+    k = [cam_js[n] for n in ("k1", "k2", "k3", "k4")]
+    p1, p2 = cam_js["p1"], cam_js["p2"]
+    k5, k6 = cam_js["k5"], cam_js["k6"]
+    r2 = np.clip(np.sum(p * p, axis=-1), 0.0, np.pi ** 2)
+    radial = (
+        1 + k[0] * r2 + k[1] * r2 ** 2 + k[2] * r2 ** 3 + k[3] * r2 ** 4
+        + k5 * r2 ** 5 + k6 * r2 ** 6
+    )
+    uv = p * radial[..., None]
+    ux, uy = uv[..., 0], uv[..., 1]
+    r2t = ux * ux + uy * uy
+    xd = ux + 2 * p2 * ux * uy + p1 * (r2t + 2 * ux * ux)
+    yd = uy + 2 * p1 * ux * uy + p2 * (r2t + 2 * uy * uy)
+    fx, fy, cx, cy = (cam_js[n] for n in ("fx", "fy", "cx", "cy"))
+    return np.stack([xd * fx + cx, yd * fy + cy], axis=-1)
+
+
+def _project_pinhole_np(v_eye: np.ndarray, k33: np.ndarray) -> np.ndarray:
+    uv = v_eye[..., :2] / np.maximum(v_eye[..., 2:3], 1e-6)
+    return np.stack(
+        [uv[..., 0] * k33[0, 0] + k33[0, 2], uv[..., 1] * k33[1, 1] + k33[1, 2]],
+        axis=-1,
+    )
+
+
+def _skin_jit():
+    """Cached CPU-jitted skinner (corpus generation calls it thousands of
+    times; eager per-op dispatch would dominate generation time)."""
+    global _SKIN_JIT
+    if _SKIN_JIT is None:
+        import jax
+
+        from ..kinematics.skinning import skin_landmarks
+
+        _SKIN_JIT = jax.jit(skin_landmarks)
+    return _SKIN_JIT
+
+
+_SKIN_JIT = None
+
+
+def tracker_gt_landmarks(hand_dict, angles, wrists) -> np.ndarray:
+    """World landmarks [T, 2, 21, 3] (mm) with the tracker's right-hand
+    convention — mirror the wrist x column, skin the left model
+    (perspective_crop.py:40-51).  Runs on host CPU regardless of the default
+    JAX backend."""
+    import jax
+
+    from ..kinematics.hand import from_dict
+
+    angles = np.asarray(angles, np.float32)  # [T, 2, 22]
+    wrists = np.asarray(wrists, np.float32)  # [T, 2, 4, 4]
+    wrists = wrists.copy()
+    wrists[:, 1, :, 0] *= -1.0  # right hand: mirror wrist x basis column
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        hand = from_dict(hand_dict)
+        lm = _skin_jit()(hand, angles, wrists)
+        return np.asarray(jax.device_get(lm))
+
+
+def mirrored_gt_landmarks(hand_dict, angles, wrists, is_right) -> np.ndarray:
+    """World landmarks [T, 21, 3] (mm) with the torch_data convention —
+    skin the per-sample mirrored hand model (run_inference_torch_data.py:
+    91-94, hand.py:101-134)."""
+    import jax
+
+    from ..kinematics.hand import from_dict, mirrored_hand_model
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        hand = from_dict(hand_dict)
+        hand = mirrored_hand_model(hand, bool(is_right))
+        lm = _skin_jit()(
+            hand,
+            np.asarray(angles, np.float32),
+            np.asarray(wrists, np.float32),
+        )
+        return np.asarray(jax.device_get(lm))
+
+
+def draw_hands_on_image(
+    img: np.ndarray,  # [H, W] uint8, modified in place
+    pix: np.ndarray,  # [n_hands, 21, 2] pixel coords
+    in_front: np.ndarray,  # [n_hands, 21] bool (z > 0 in eye space)
+    thickness: int = 3,
+) -> None:
+    """Draw bone segments + joint disks.  Hands are drawn in index order, so
+    hand 1 occludes hand 0 where they overlap (a fixed, consistent z-order —
+    enough to create genuine mutual occlusion for the hand_hand protocol)."""
+    import cv2
+
+    h, w = img.shape
+    for hand in range(pix.shape[0]):
+        p = pix[hand]
+        ok = (
+            in_front[hand]
+            & np.isfinite(p).all(axis=-1)
+            & (np.abs(p) < 4 * max(h, w)).all(axis=-1)
+        )
+        for b, (i, j) in enumerate(_BONES):
+            if ok[i] and ok[j]:
+                cv2.line(
+                    img,
+                    (int(round(p[i, 0])), int(round(p[i, 1]))),
+                    (int(round(p[j, 0])), int(round(p[j, 1]))),
+                    int(_BONE_GRAY[b]),
+                    thickness=thickness,
+                    lineType=cv2.LINE_AA,
+                )
+        for l in range(21):
+            if ok[l]:
+                cv2.circle(
+                    img,
+                    (int(round(p[l, 0])), int(round(p[l, 1]))),
+                    thickness if l < 5 else max(thickness - 1, 1),
+                    255 if l < 5 else int(90 + 7 * l),
+                    thickness=-1,
+                    lineType=cv2.LINE_AA,
+                )
+
+
+def render_fisheye_sequence(
+    landmarks_world: np.ndarray,  # [T, 2, 21, 3] mm
+    cam_poses: np.ndarray,  # [N, 4, 4] camera-to-world
+    cam_jss,  # list of N camera JSON dicts
+    rng,
+    h: int = 480,
+    w: int = 640,
+) -> np.ndarray:  # [T, N, H, W] uint8
+    """Render both hands into every fisheye view over a smooth-noise
+    background."""
+    t = landmarks_world.shape[0]
+    n = cam_poses.shape[0]
+    images = smooth_images(rng, t, n=n, h=h, w=w, lo=25, hi=95)
+    world_to_cam = np.stack([np.linalg.inv(p) for p in cam_poses])
+    for ti in range(t):
+        for c in range(n):
+            r = world_to_cam[c, :3, :3]
+            tr = world_to_cam[c, :3, 3]
+            v_eye = landmarks_world[ti] @ r.T + tr  # [2, 21, 3]
+            pix = _project_fisheye_np(v_eye, cam_jss[c])
+            draw_hands_on_image(images[ti, c], pix, v_eye[..., 2] > 1.0)
+    return images
+
+
+def make_gt_motion(rng, t, hand_dict, mode: str = "separate"):
     """GT joint angles / wrist transforms / confidences for two hands.
 
     Wrists hover near the origin with slow translation + rotation; angles
     interpolate inside joint limits.  A confidence dropout knocks hand 1 out
     for a few frames mid-sequence.
+
+    ``mode="hand_hand"`` reproduces the reference's interacting-hands
+    protocol geometry (load_eval.py:92-105): the hands start close and cross
+    each other's position each period, so they share view cones and occlude
+    each other in every camera.
     """
     from scipy.spatial.transform import Rotation
 
@@ -117,7 +313,11 @@ def make_gt_motion(rng, t, hand_dict):
         for ti in range(t):
             angles[ti, hand] = mid + amp * np.sin(freq * ti + phase)
 
-        base_pos = np.array([(-60.0 if hand == 0 else 60.0), 0.0, 0.0])
+        sign = -1.0 if hand == 0 else 1.0
+        if mode == "hand_hand":
+            base_pos = np.array([sign * 25.0, sign * 10.0, 0.0])
+        else:
+            base_pos = np.array([sign * 60.0, 0.0, 0.0])
         axis = rng.standard_normal(3)
         axis /= np.linalg.norm(axis)
         base_rot = Rotation.from_rotvec(
@@ -127,10 +327,17 @@ def make_gt_motion(rng, t, hand_dict):
             r = Rotation.from_rotvec(axis * 0.02 * ti) * base_rot
             m = np.eye(4, dtype=np.float32)
             m[:3, :3] = r.as_matrix()
-            m[:3, 3] = base_pos + np.array(
+            wobble = np.array(
                 [20 * np.sin(0.05 * ti), 15 * np.cos(0.04 * ti),
                  10 * np.sin(0.03 * ti)]
             )
+            if mode == "hand_hand":
+                # crossing term: the hands swap sides each period, passing
+                # through each other's silhouette near the view center
+                wobble = wobble + np.array(
+                    [-sign * 55.0 * np.sin(0.08 * ti), 0.0, 0.0]
+                )
+            m[:3, 3] = base_pos + wobble
             wrists[ti, hand] = m
 
     lo = t // 3
@@ -138,16 +345,48 @@ def make_gt_motion(rng, t, hand_dict):
     return angles, wrists, conf
 
 
-def make_labels_dict(t, rng_seed=0, with_dropout=True):
-    """Full label dict in the raw_data JSON schema + image tensor."""
+def scaled_hand_dict(hand_dict: dict, scale: float) -> dict:
+    """Uniformly scale a hand-model dict's rest geometry (the dict analog of
+    kinematics.scaled_hand_model / reference hand.py:65-98)."""
+    out = dict(hand_dict)
+    for key in ("joint_rest_positions", "landmark_rest_positions"):
+        out[key] = (np.asarray(hand_dict[key], np.float32) * scale).tolist()
+    base = hand_dict.get("hand_scale")
+    out["hand_scale"] = float(base if base is not None else 1.0) * scale
+    return out
+
+
+def make_labels_dict(
+    t,
+    rng_seed=0,
+    with_dropout=True,
+    mode: str = "separate",
+    hand_scale: float | None = None,
+    render: bool = True,
+):
+    """Full label dict in the raw_data JSON schema + image tensor.
+
+    ``render=True`` draws the GT hands into the fisheye views (pose is then
+    inferable from pixels — the trainable-corpus requirement);
+    ``mode="hand_hand"`` generates interacting/occluding hands;
+    ``hand_scale`` scales the GT user skeleton relative to the generic model
+    (what the unknown-skeleton protocol must recover).
+    """
     rng = np.random.default_rng(rng_seed)
     hand_dict = load_generic_hand_dict()
+    if hand_scale is not None:
+        hand_dict = scaled_hand_dict(hand_dict, hand_scale)
 
     cam_poses = make_camera_poses()
-    angles, wrists, conf = make_gt_motion(rng, t, hand_dict)
+    angles, wrists, conf = make_gt_motion(rng, t, hand_dict, mode=mode)
     if not with_dropout:
         conf[:] = 1.0
-    images = smooth_images(rng, t)
+    if render:
+        landmarks = tracker_gt_landmarks(hand_dict, angles, wrists)
+        cam_jss = [dict(CAM_JS) for _ in range(N_CAMS)]
+        images = render_fisheye_sequence(landmarks, cam_poses, cam_jss, rng)
+    else:
+        images = smooth_images(rng, t)
 
     labels = {
         "cameras": [dict(CAM_JS) for _ in range(N_CAMS)],
@@ -189,40 +428,136 @@ def our_sequence(labels, images):
     return rig, seq, hand
 
 
-def make_torchdata_sample(rng_seed=0, t=3, v=2, h=120, w=160, hand_idx=1):
-    """Synthetic raw torch_data sample in the reference msgpack schema
-    (pinhole views looking at a hand-sized blob near the origin, mm units)."""
-    rng = np.random.default_rng(rng_seed)
-    hand_dict = make_labels_dict(1, rng_seed)[0]["hand_model"]
+def write_torchdata_corpus(
+    root: str,
+    n_train: int = 64,
+    n_test: int = 8,
+    t: int = 16,
+    h: int = 120,
+    w: int = 160,
+    seed0: int = 0,
+) -> dict:
+    """Write a rendered synthetic torch_data corpus to disk with
+    ``write_idxbin`` (training + testing splits under ``root/synthetic/``),
+    alternating hands and varying the GT hand scale per sequence.  The
+    corpus is the self-consistent benchmark's training set (the reference's
+    UmeTrack_data and pretrained weights are not distributed)."""
+    from ..data.idxbin import write_idxbin
 
-    cam_poses = make_camera_poses()[:v]  # [V, 4, 4] mm
+    out = {}
+    for split, n, base in (("training", n_train, 0), ("testing", n_test, 50_000)):
+        monos, labels_list = [], []
+        for i in range(n):
+            rng = np.random.default_rng(seed0 + base + i)
+            scale = float(rng.uniform(0.85, 1.15))
+            mono, labels = make_torchdata_sample(
+                rng_seed=seed0 + base + i, t=t, h=h, w=w,
+                hand_idx=i % 2, hand_scale=scale,
+            )
+            monos.append(mono)
+            labels_list.append(labels)
+        folder = os.path.join(root, "synthetic", split)
+        write_idxbin(os.path.join(folder, "mono"), monos)
+        write_idxbin(
+            os.path.join(folder, "labels"), labels_list, msgpack_objects=True
+        )
+        out[split] = folder
+    return out
+
+
+def make_torchdata_sample(
+    rng_seed=0,
+    t=3,
+    v=2,
+    h=120,
+    w=160,
+    hand_idx=1,
+    render: bool = True,
+    hand_scale: float | None = None,
+):
+    """Synthetic raw torch_data sample in the reference msgpack schema
+    (pinhole views looking at the hand near the origin, mm units).
+
+    With ``render=True`` the sample is *trainable*: GT motion comes from
+    the same generator as the raw_data sequences, the hand is drawn
+    geometrically into both pinhole views (torch_data convention: mirrored
+    hand model skinning, run_inference_torch_data.py:91-94), and
+    ``enclosing_points`` are the 63 crop points of the reference protocol
+    (GT + neutral + open pose landmarks, perspective_crop.py:89-115).
+    """
+    rng = np.random.default_rng(rng_seed)
+    generic_dict = load_generic_hand_dict()
+    hand_dict = (
+        scaled_hand_dict(generic_dict, hand_scale)
+        if hand_scale is not None
+        else generic_dict
+    )
+
+    motion_angles, motion_wrists, _ = make_gt_motion(rng, t, hand_dict)
+    angles = motion_angles[:, hand_idx]  # [t, 22]
+    wrist = motion_wrists[:, hand_idx]  # [t, 4, 4]
+
+    # Aim the views at the hand's mean position so it stays fully inside the
+    # modest torch_data frames.
+    center = motion_wrists[:, hand_idx, :3, 3].mean(axis=0)
+    cam_poses = make_camera_poses(target=center)[:v]  # [V, 4, 4] mm
     extr = np.stack(
         [np.linalg.inv(p).astype(np.float32) for p in cam_poses]
     )  # world->eye
     extr = np.tile(extr, (t, 1, 1, 1))
 
+    # Per-sequence focal + stroke-thickness jitter when rendering: the
+    # trained model must transfer to the fisheye eval crops, whose effective
+    # per-crop resolution and stroke width differ from the pinhole
+    # torch_data views.
+    focal = float(rng.uniform(170.0, 235.0)) if render else 200.0
+    thickness = int(rng.integers(2, 5)) if render else 3
     intr = np.tile(np.eye(3, dtype=np.float32), (t, v, 1, 1))
-    intr[..., 0, 0] = intr[..., 1, 1] = 200.0
+    intr[..., 0, 0] = intr[..., 1, 1] = focal
     intr[..., 0, 2] = (w - 1) / 2
     intr[..., 1, 2] = (h - 1) / 2
-
-    enclosing = rng.uniform(-80, 80, size=(t, 63, 3)).astype(np.float32)
-
-    angles = rng.uniform(-0.5, 0.5, size=(t, 22)).astype(np.float32)
     solved_angles = angles + rng.normal(0, 0.05, size=(t, 22)).astype(np.float32)
-    wrist = np.tile(np.eye(4, dtype=np.float32), (t, 1, 1))
-    wrist[:, :3, 3] = rng.uniform(-50, 50, size=(t, 3))
     solved_wrist = wrist.copy()
 
-    import cv2
+    if render:
+        lm_gt = mirrored_gt_landmarks(hand_dict, angles, wrist, hand_idx == 1)
+        limits = np.asarray(hand_dict["joint_limits"], np.float32)
+        neutral = np.broadcast_to(
+            (limits[:, 0] + limits[:, 1]) / 2, angles.shape
+        )
+        lm_neutral = mirrored_gt_landmarks(
+            hand_dict, neutral, wrist, hand_idx == 1
+        )
+        lm_open = mirrored_gt_landmarks(
+            hand_dict, np.zeros_like(angles), wrist, hand_idx == 1
+        )
+        enclosing = np.concatenate(
+            [lm_gt, lm_neutral, lm_open], axis=1
+        ).astype(np.float32)  # [t, 63, 3]
 
-    base = rng.uniform(0, 255, size=(t * v, 12, 16)).astype(np.float32)
-    mono = np.stack(
-        [
-            cv2.resize(b, (w, h), interpolation=cv2.INTER_CUBIC).clip(0, 255)
-            for b in base
-        ]
-    ).astype(np.uint8).reshape(t, v, h, w)
+        mono = smooth_images(rng, t, n=v, h=h, w=w, lo=25, hi=95)
+        world_to_cam = np.stack([np.linalg.inv(p) for p in cam_poses])
+        for ti in range(t):
+            for c in range(v):
+                r3 = world_to_cam[c, :3, :3]
+                tr = world_to_cam[c, :3, 3]
+                v_eye = lm_gt[ti] @ r3.T + tr  # [21, 3]
+                pix = _project_pinhole_np(v_eye, intr[ti, c])
+                draw_hands_on_image(
+                    mono[ti, c], pix[None], (v_eye[..., 2] > 1.0)[None],
+                    thickness=thickness,
+                )
+    else:
+        import cv2
+
+        enclosing = rng.uniform(-80, 80, size=(t, 63, 3)).astype(np.float32)
+        base = rng.uniform(0, 255, size=(t * v, 12, 16)).astype(np.float32)
+        mono = np.stack(
+            [
+                cv2.resize(b, (w, h), interpolation=cv2.INTER_CUBIC).clip(0, 255)
+                for b in base
+            ]
+        ).astype(np.uint8).reshape(t, v, h, w)
 
     labels = {
         "extrinsics": extr.tolist(),
@@ -234,7 +569,7 @@ def make_torchdata_sample(rng_seed=0, t=3, v=2, h=120, w=160, hand_idx=1):
         "joint_angles": angles.tolist(),
         "solved_wrist_xfs": solved_wrist.tolist(),
         "solved_joint_angles": solved_angles.tolist(),
-        "generic_hand_model": hand_dict,
+        "generic_hand_model": generic_dict,
         "pinch": [0.0] * t,
     }
     return mono, labels
