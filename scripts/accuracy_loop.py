@@ -19,8 +19,11 @@ Phases (run individually or `all`):
 """
 import argparse
 import json
+import logging
 import os
 import sys
+
+logging.basicConfig(level=logging.INFO)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -71,6 +74,7 @@ def phase_train(args):
             "batch_size": args.batch_size,
             "tbptt_window": args.window,
             "learning_rate": args.lr,
+            "lr_schedule": "cosine",
             "log_every": 25,
             "checkpoint_dir": None,
         }),

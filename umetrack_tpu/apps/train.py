@@ -198,9 +198,19 @@ def run_training(cfg: Config, batches: Iterator[TrainBatch], num_steps=None):
     logger.info("mesh: %s", dict(mesh.shape))
     variables = shard_variables(variables, mesh)
 
-    optimizer = optax.adamw(
-        cfg.train.learning_rate, weight_decay=cfg.train.weight_decay
-    )
+    if cfg.train.lr_schedule == "cosine":
+        total = max(num_steps or cfg.train.num_steps, 2)
+        warm = min(cfg.train.warmup_steps, max(total // 10, 1))
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.train.learning_rate,
+            warmup_steps=warm,
+            decay_steps=total,
+            end_value=cfg.train.learning_rate * 0.01,
+        )
+    else:
+        lr = cfg.train.learning_rate
+    optimizer = optax.adamw(lr, weight_decay=cfg.train.weight_decay)
     ts = create_train_state(variables, optimizer)
     weights = LossWeights(
         angles=cfg.train.loss_angles,

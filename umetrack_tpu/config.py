@@ -40,6 +40,10 @@ class MeshConfig:
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     learning_rate: float = 1e-4
+    # "constant" or "cosine" (linear warmup over warmup_steps then cosine
+    # decay to ~0 across num_steps)
+    lr_schedule: str = "constant"
+    warmup_steps: int = 100
     weight_decay: float = 1e-5
     batch_size: int = 32
     num_steps: int = 1000

@@ -114,6 +114,10 @@ def aggregate(metrics_list, valid_tracking_list) -> Dict[str, float]:
     angles = np.concatenate([m.angle_errors_deg for m in metrics_list])
     valid = np.concatenate(valid_tracking_list, axis=1)
 
+    # Scale note: our pck_auc is normalized to [0, 1].  The reference prints
+    # the same quantity x100 — its load_eval.py:67-89 scales the PCK curve by
+    # 100 but leaves normalized_AUC's default y_max=1 (metric_utils.py:87).
+    # Multiply ours by 100 when comparing against reference printouts.
     pck = PCK_curve(errors, PCK_THRESHOLDS) * 100.0
     out = {
         "n_total_frames": int(valid.size),
