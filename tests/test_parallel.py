@@ -213,3 +213,43 @@ def test_batched_unknown_skeleton_matches_per_sequence(model_vars, small_sequenc
     err = np.linalg.norm(np.asarray(tracked) - np.asarray(gt), axis=-1).mean(-1)
     expected = (err * v).sum() / max(v.sum(), 1.0)
     np.testing.assert_allclose(float(per_seq[0]), expected, rtol=1e-3)
+
+
+def test_wrist_point_targets_decode_consistently():
+    """The GT wrist-point targets in _frame_losses must round-trip through
+    the model's own decode chain (Procrustes -> cam0->world -> right-hand
+    x-mirror) back to the GT wrist for BOTH hands.  Right-hand crop cameras
+    are x-mirrored (det(e0) = -1); without mirroring the GT wrist's x basis
+    column first, the targets are a reflected point set whose Procrustes fit
+    has the wrong rotation (caught in round 3)."""
+    import jax.numpy as jnp
+
+    from umetrack_tpu.data.transform import parse_raw_buffers, preprocess_sequence
+    from umetrack_tpu.models.components import gen_rigid_points
+    from umetrack_tpu.models.procrustes import procrustes_align
+    from umetrack_tpu.models.umetrack import _wrist_to_world
+    from umetrack_tpu.utils.synthetic import make_torchdata_sample
+
+    for hand_idx in (0, 1):
+        mono, labels = make_torchdata_sample(rng_seed=9, t=2, hand_idx=hand_idx)
+        raw = parse_raw_buffers(mono, labels)
+        mi, tg = jax.jit(preprocess_sequence)(raw)
+        e0 = jnp.asarray(np.asarray(mi.extrinsics_xf)[:, 0])
+        gt_w = jnp.asarray(np.asarray(tg.gt_wrist_xfs))
+        hands = jnp.full((2,), hand_idx)
+
+        # target construction (as in parallel.train._frame_losses)
+        sign = jnp.where(hands == 1, -1.0, 1.0)
+        gt_eff = gt_w.at[..., :, 0].multiply(sign[:, None])
+        gt_cam0 = e0 @ gt_eff
+        rigid = jnp.asarray(gen_rigid_points(7))
+        gt_pts = jnp.einsum("tij,pj->tpi", gt_cam0[:, :3, :3], rigid) + gt_cam0[:, None, :3, 3]
+
+        # the model's decode chain applied to the targets
+        from_pts = jnp.broadcast_to(rigid, (2, 7, 3))
+        wrist_cam0 = procrustes_align(from_pts, gt_pts, "svd")
+        back = _wrist_to_world(e0, hands, wrist_cam0)
+
+        np.testing.assert_allclose(
+            np.asarray(back), np.asarray(gt_w), rtol=1e-4, atol=1e-5,
+        )

@@ -222,6 +222,14 @@ def run_training(cfg: Config, batches: Iterator[TrainBatch], num_steps=None):
     num_steps = num_steps or cfg.train.num_steps
     t0 = time.time()
     history = []
+    # Overlap host-side batch building (parse + collate + preprocess
+    # dispatch) with the device step: one worker thread keeps up to two
+    # batches in flight while the chip trains on the previous one.
+    from ..data.dataset import prefetch_map
+
+    batches = prefetch_map(
+        lambda b: b, iter(batches), num_threads=1, max_prefetch=2
+    )
     for step in range(num_steps):
         batch = shard_batch(next(batches), mesh)
         step_fn = (

@@ -107,9 +107,21 @@ def _frame_losses(
         (out.joint_angles[:, :20] - gt_joint_angles[:, :20]) ** 2
     )
 
-    # 2) wrist rigid points in cam0: GT wrist (world, left-conv) -> cam0
+    # 2) wrist rigid points in cam0.  The model's decode chain is
+    # points -> Procrustes (proper rotation) -> cam0->world -> mirror the x
+    # basis column for right hands (umetrack_model.py:77-90).  Right-hand
+    # crop cameras are themselves x-mirrored (det(e0) = -1), so the
+    # pre-mirror cam0 target must use the GT wrist with its x column
+    # mirrored: e0 @ mirror_x(gt) is then a PROPER rigid transform whose
+    # rigid points Procrustes can represent, and the full decode chain
+    # applied to these targets reproduces gt_wrist_world exactly
+    # (tests/test_parallel.py::test_wrist_point_targets_decode_consistently).
     e0 = frame.extrinsics[:, 0]
-    gt_wrist_cam0 = e0 @ gt_wrist_world
+    sign = jnp.where(frame.hand_idx == 1, -1.0, 1.0).astype(
+        gt_wrist_world.dtype
+    )
+    gt_eff = gt_wrist_world.at[..., :, 0].multiply(sign[:, None])
+    gt_wrist_cam0 = e0 @ gt_eff
     rigid = jnp.asarray(gen_rigid_points(model.config.n_wrist_rigid_pts))
     gt_points = jax.vmap(lambda m: affine.transform3(m, rigid))(gt_wrist_cam0)
     point_loss = jnp.mean((out.wrist_points - gt_points) ** 2)
