@@ -75,6 +75,12 @@ def phase_train(args):
             "tbptt_window": args.window,
             "learning_rate": args.lr,
             "lr_schedule": "cosine",
+            # Rebalanced for the wrist: at the defaults the angle/NLL terms
+            # saturate (sub-mm landmarks with GT wrist) while the wrist-point
+            # term is still far from converged — its gradients were being
+            # drowned.  20x makes point_loss fall ~8x faster (measured in the
+            # round-3 overfit A/B).
+            "loss_wrist_points": args.w_points,
             "log_every": 25,
             "checkpoint_dir": None,
         }),
@@ -84,7 +90,9 @@ def phase_train(args):
 
     enable_compile_cache()
     batches = train_app.dataset_batches(cfg)
-    ts, history = train_app.run_training(cfg, batches)
+    ts, history = train_app.run_training(
+        cfg, batches, init_checkpoint=args.init_ckpt
+    )
     path = save_checkpoint(
         args.ckpt, {"params": ts.params, "batch_stats": ts.batch_stats}
     )
@@ -189,6 +197,10 @@ def main():
     p.add_argument("--window", type=int, default=8)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--ckpt", default=DEFAULT_CKPT)
+    p.add_argument("--init-ckpt", default=None,
+                   help="resume training from an existing checkpoint")
+    p.add_argument("--w-points", type=float, default=20.0,
+                   help="wrist-point loss weight (see phase_train comment)")
     p.add_argument("--eval-root", default=os.path.join(REPO, "eval_out"))
     p.add_argument("--eval-seqs", type=int, default=8)
     p.add_argument("--eval-frames", type=int, default=64)

@@ -186,8 +186,16 @@ def dataset_batches(cfg: Config) -> Iterator[TrainBatch]:
         epoch += 1
 
 
-def run_training(cfg: Config, batches: Iterator[TrainBatch], num_steps=None):
+def run_training(
+    cfg: Config, batches: Iterator[TrainBatch], num_steps=None,
+    init_checkpoint: str | None = None,
+):
     model, variables = init_model(jax.random.PRNGKey(0), cfg.model)
+    if init_checkpoint:
+        from ..utils.checkpoints import load_checkpoint
+
+        variables = load_checkpoint(init_checkpoint, variables)
+        logger.info("resumed weights from %s", init_checkpoint)
     devices = jax.devices()
     ma = cfg.mesh.model_axis or (2 if len(devices) % 2 == 0 else 1)
     # The data axis cannot exceed the per-step batch (device_put of a [B]
