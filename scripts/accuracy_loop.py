@@ -100,6 +100,46 @@ def phase_train(args):
           flush=True)
 
 
+def phase_train_tracker(args):
+    """Fine-tune on the tracker's own crop distribution (fisheye prep path —
+    the raw_data eval domain), resuming from the torch_data checkpoint."""
+    from umetrack_tpu.apps import train as train_app
+    from umetrack_tpu.config import Config
+    from umetrack_tpu.utils.checkpoints import save_checkpoint
+    from umetrack_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    entries = train_app.prepare_tracker_sequences(
+        n_seqs=args.tracker_seqs, t=args.corpus_t
+    )
+    batches = train_app.tracker_domain_batches(
+        entries, seqs_per_batch=args.batch_size // 2, window=args.window
+    )
+    cfg = Config()
+    cfg = Config(
+        model=cfg.model, tracker=cfg.tracker, data=cfg.data, mesh=cfg.mesh,
+        train=cfg.train.__class__(**{
+            **cfg.train.__dict__,
+            "num_steps": args.steps,
+            "batch_size": args.batch_size,
+            "tbptt_window": args.window,
+            "learning_rate": args.lr,
+            "lr_schedule": "cosine",
+            "loss_wrist_points": args.w_points,
+            "log_every": 25,
+            "checkpoint_dir": None,
+        }),
+    )
+    ts, history = train_app.run_training(
+        cfg, batches, init_checkpoint=args.init_ckpt
+    )
+    path = save_checkpoint(
+        args.ckpt, {"params": ts.params, "batch_stats": ts.batch_stats}
+    )
+    print(f"checkpoint saved: {path} (final loss {history[-1]:.5f})",
+          flush=True)
+
+
 def phase_eval(args):
     from umetrack_tpu.apps import load_eval
     from umetrack_tpu.apps import run_eval_known_skeleton as known_app
@@ -186,7 +226,10 @@ def write_results_md(args, summaries: dict):
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("phase", choices=["corpus", "train", "eval", "all"])
+    p.add_argument(
+        "phase", choices=["corpus", "train", "train-tracker", "eval", "all"]
+    )
+    p.add_argument("--tracker-seqs", type=int, default=96)
     p.add_argument("--corpus-root", default=DEFAULT_CORPUS)
     p.add_argument("--n-train", type=int, default=256)
     p.add_argument("--n-test", type=int, default=16)
@@ -211,6 +254,8 @@ def main():
         phase_corpus(args)
     if args.phase in ("train", "all"):
         phase_train(args)
+    if args.phase == "train-tracker":
+        phase_train_tracker(args)
     if args.phase in ("eval", "all"):
         phase_eval(args)
     return 0

@@ -137,6 +137,165 @@ def _batch_from_sequences(items, crop_size, window: int = 1, t0=None):
     return _build_train_batch(raw_batch, tuple(crop_size))
 
 
+def _np_rigid_inverse(m: np.ndarray) -> np.ndarray:
+    """Inverse of [..., 4, 4] rigid transforms (host numpy)."""
+    r = np.swapaxes(m[..., :3, :3], -1, -2)
+    t = -np.einsum("...ij,...j->...i", r, m[..., :3, 3])
+    out = np.tile(np.eye(4, dtype=m.dtype), (*m.shape[:-2], 1, 1))
+    out[..., :3, :3] = r
+    out[..., :3, 3] = t
+    return out
+
+
+def prepare_tracker_sequences(
+    n_seqs: int = 96,
+    t: int = 16,
+    seed0: int = 5000,
+    scale_jitter: float = 0.15,
+    crop_size=(96, 96),
+):
+    """Precompute tracker-domain training material: run the REAL tracker prep
+    (GT-pose crop generation + fisheye->pinhole Pallas warps) over rendered
+    synthetic raw_data sequences and cache the crops + geometry on the host.
+
+    Training on these crops puts the model on the exact distribution the
+    raw_data eval protocol sees — the torch_data corpus alone leaves a
+    pinhole-vs-fisheye appearance gap (measured ~95 mm vs ~30 mm in
+    round 3).  Sequences alternate separate / hand_hand and jitter the GT
+    hand scale (what the unknown-skeleton protocol must recover).
+    """
+    from ..tracker import TrackerConfig
+    from ..tracker import tracker as trk
+    from ..utils import synthetic
+
+    cfg = TrackerConfig()
+    prep = jax.jit(
+        lambda rig, seq, hand: trk._prepare_sequence(cfg, rig, seq, hand, 1)
+    )
+    entries = []
+    for i in range(n_seqs):
+        rng = np.random.default_rng(seed0 + i)
+        scale = (
+            float(rng.uniform(1 - scale_jitter, 1 + scale_jitter))
+            if scale_jitter
+            else 1.0
+        )
+        labels, images = synthetic.make_labels_dict(
+            t, rng_seed=seed0 + i, with_dropout=False,
+            mode="hand_hand" if i % 2 else "separate",
+            hand_scale=scale,
+        )
+        rig, seq, hand = synthetic.our_sequence(labels, images)
+        crop_sets, crop_images = prep(rig, seq, hand)
+        hand_m = jax.tree_util.tree_map(
+            lambda a: None if a is None else np.asarray(a), hand
+        )
+        entries.append(dict(
+            images=np.asarray(crop_images, np.float32),  # [T, 2, V, h, w]
+            intrinsics=np.asarray(crop_sets.intrinsics, np.float32),
+            T_world_from_eye=np.asarray(
+                crop_sets.T_world_from_eye, np.float32
+            ),
+            view_valid=np.asarray(crop_sets.view_valid),
+            n_views=np.asarray(crop_sets.n_views, np.int32),
+            angles=np.asarray(labels["joint_angles"], np.float32),
+            wrists_mm=np.asarray(labels["wrist_transforms"], np.float32),
+            hand_model_mm=hand_m,
+            scale=scale,
+        ))
+        if (i + 1) % 16 == 0:
+            logger.info("prepared %d/%d tracker sequences", i + 1, n_seqs)
+    return entries
+
+
+def tracker_domain_batches(
+    entries,
+    seqs_per_batch: int = 16,
+    window: int = 8,
+    seed: int = 0,
+) -> Iterator[TemporalTrainBatch]:
+    """TBPTT batches drawn from cached tracker-prep sequences; each sequence
+    contributes its two hand rows (row = 2*s + hand, the merged layout), so
+    batch rows = 2 * seqs_per_batch.  All-host assembly — the training-step
+    jit is the only device work, and its shapes match the torch_data path's
+    (no recompile when rows == batch_size)."""
+    from ..kinematics.hand import scaled_hand_model
+
+    rng = np.random.default_rng(seed)
+    t = entries[0]["images"].shape[0]
+    k = min(window, t)
+    mm = 0.001
+
+    while True:
+        idxs = rng.choice(len(entries), size=seqs_per_batch, replace=False)
+        t0 = int(rng.integers(0, t - k + 1))
+        sl = slice(t0, t0 + k)
+
+        imgs, intr, extr, nviews, angles, wrists, skel_axes, skel_rest = (
+            [], [], [], [], [], [], [], []
+        )
+        hands, scales = [], []
+        for j in idxs:
+            e = entries[int(j)]
+            for h in range(2):
+                imgs.append(e["images"][sl, h])  # [k, V, hh, ww]
+                ki = e["intrinsics"][sl, h]
+                extr_mm = _np_rigid_inverse(e["T_world_from_eye"][sl, h])
+                extr_m = extr_mm.copy()
+                extr_m[..., :3, 3] *= mm
+                vv = e["view_valid"][sl, h][..., None, None]
+                extr_m = np.where(vv, extr_m, extr_m[:, 0:1])
+                ki = np.where(vv, ki, ki[:, 0:1])
+                intr.append(ki)
+                extr.append(extr_m)
+                nviews.append(np.maximum(e["n_views"][sl, h], 1))
+                angles.append(e["angles"][sl, h])
+                w = e["wrists_mm"][sl, h].copy()
+                w[..., :3, 3] *= mm
+                wrists.append(w)
+                hm = jax.tree_util.tree_map(
+                    lambda a: None if a is None else a, e["hand_model_mm"]
+                )
+                hands.append(hm)
+                scales.append(e["scale"])
+
+        hand_b = jax.tree_util.tree_map(
+            lambda *a: None if a[0] is None else np.stack(a), *hands
+        )
+        hand_b_m = scaled_hand_model(
+            jax.tree_util.tree_map(
+                lambda a: None if a is None else jnp.asarray(a), hand_b
+            ),
+            mm,
+        )
+        b = len(imgs)
+        frames = FrameInputs(
+            images=jnp.asarray(np.stack(imgs)),  # [B, k, V, h, w]
+            intrinsics=jnp.asarray(np.stack(intr)),
+            extrinsics=jnp.asarray(np.stack(extr)),
+            n_views=jnp.asarray(np.stack(nviews), jnp.int32),
+            hand_idx=jnp.asarray(
+                np.tile(np.arange(2, dtype=np.int32), seqs_per_batch)[:, None]
+                .repeat(k, axis=1)
+            ),
+            use_memory=jnp.broadcast_to(
+                jnp.arange(k, dtype=jnp.int32) > 0, (b, k)
+            ),
+        )
+        skeleton = SkeletonInputs(
+            joint_rotation_axes=hand_b_m.joint_rotation_axes,
+            joint_rest_positions=hand_b_m.joint_rest_positions,
+        )
+        yield TemporalTrainBatch(
+            frames=frames,
+            skeleton=skeleton,
+            gt_joint_angles=jnp.asarray(np.stack(angles)),
+            gt_wrist_world=jnp.asarray(np.stack(wrists)),
+            hand=hand_b_m,
+            gt_scales=jnp.asarray(np.asarray(scales, np.float32)),
+        )
+
+
 def synthetic_batches(
     batch_size: int, crop_size, window: int = 1
 ) -> Iterator[TrainBatch]:
@@ -218,7 +377,12 @@ def run_training(
         )
     else:
         lr = cfg.train.learning_rate
-    optimizer = optax.adamw(lr, weight_decay=cfg.train.weight_decay)
+    # Global-norm clipping guards the TBPTT step against rare exploding
+    # batches (e.g. NLL spikes right after a domain shift).
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(lr, weight_decay=cfg.train.weight_decay),
+    )
     ts = create_train_state(variables, optimizer)
     weights = LossWeights(
         angles=cfg.train.loss_angles,

@@ -130,7 +130,12 @@ def _frame_losses(
     pred_lm = skin_landmarks(hand, out.joint_angles, gt_wrist_world)
     gt_lm = skin_landmarks(hand, gt_joint_angles, gt_wrist_world)
     err = jnp.linalg.norm(pred_lm - gt_lm + 1e-12, axis=-1)  # [B, 21]
-    sig = out.landmark_uncertainty_sigmas
+    # Training-side sigma floor of 1 mm: the decode's reference-parity clamp
+    # is 1e-5 (regressor.py:120), but once sigmas shrink to ~0.5 mm a domain
+    # shift makes (err/sigma)^2 explode and NaN the run (observed in round 3
+    # when fine-tuning onto the tracker-crop domain).  The floor only caps
+    # the NLL's confidence reward; the decode itself is untouched.
+    sig = jnp.maximum(out.landmark_uncertainty_sigmas, 1e-3)
     nll = jnp.mean(jnp.log(sig) + 0.5 * (err / sig) ** 2)
     return angle_loss, point_loss, nll
 
