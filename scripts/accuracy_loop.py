@@ -213,9 +213,10 @@ def write_results_md(args, summaries: dict):
         "reference prints the same quantity x100 (its `load_eval.py` scales "
         "the curve by 100 with `normalized_AUC`'s default `y_max=1`).",
         "",
-        "Gate: `tests/test_accuracy_gate.py` loads this checkpoint and "
-        "asserts MPJPE <= 10 mm on a held-out separate-hand sequence "
-        "(BASELINE.md north-star threshold).",
+        "Gate: `tests/test_accuracy_gate.py` loads this checkpoint and pins "
+        "the achieved level on a held-out separate-hand sequence (a "
+        "regression gate; the BASELINE.md north star of <= 10 mm MPJPE is "
+        "not yet reached — see the training-trajectory notes below).",
     ]
     path = os.path.join(REPO, "RESULTS.md")
     with open(path, "w") as fp:

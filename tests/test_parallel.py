@@ -31,9 +31,15 @@ def model_vars():
 
 
 def test_mesh_shapes():
+    # Default is pure data parallelism (TP measured ~2x slower at this model
+    # size — scripts/scaling_bench.py); model_axis=0 auto-picks TP=2 on even
+    # device counts for experiments.
     mesh = make_mesh(jax.devices())
-    assert mesh.shape["data"] * mesh.shape["model"] == len(jax.devices())
-    assert mesh.shape["model"] == 2
+    assert mesh.shape["data"] == len(jax.devices())
+    assert mesh.shape["model"] == 1
+    mesh_tp = make_mesh(jax.devices(), model_axis=0)
+    assert mesh_tp.shape["model"] == 2
+    assert mesh_tp.shape["data"] * 2 == len(jax.devices())
 
 
 def test_train_step_sharded_matches_unsharded(model_vars):
