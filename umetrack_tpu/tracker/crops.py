@@ -43,13 +43,44 @@ def landmarks_from_pose(
     return _skin_landmarks_single(hand_model, joint_angles, xf)
 
 
+def static_crop_points_local(
+    hand_model: HandModel, num_crop_points: int
+) -> jnp.ndarray | None:
+    """Wrist-local landmarks of the pose-INDEPENDENT crop poses (neutral =
+    mid joint limits, open = zero angles), pre-mirrored per hand:
+    [2, n_extra, 3] (or None when only the GT landmarks are used).
+
+    FK left-multiplies the wrist transform into every skinning frame, so
+    ``skin(angles, mirror_x(W)) == W @ diag(-1,1,1) @ skin(angles, I)`` —
+    per frame these sets are ONE rigid transform of this constant.  The
+    sequence tracker computes it once instead of re-skinning two full poses
+    for every (frame, hand), which was the dominant term of crop
+    generation (measured 23.5 ms of a 25 ms S=8 prep)."""
+    if num_crop_points <= 21:
+        return None
+    eye = jnp.eye(4, dtype=hand_model.joint_rest_positions.dtype)
+    sets = [neutral_joint_angles(hand_model)]
+    if num_crop_points > 42:
+        sets.append(jnp.zeros_like(sets[0]))
+    local = jnp.concatenate(
+        [_skin_landmarks_single(hand_model, a, eye) for a in sets], axis=0
+    )  # [n_extra, 3], left hand
+    right = local.at[:, 0].multiply(-1.0)
+    return jnp.stack([local, right], axis=0)
+
+
 def _crop_points(
     hand_model: HandModel,
     joint_angles: jnp.ndarray,
     wrist_xf: jnp.ndarray,
     hand_idx: jnp.ndarray,
     num_crop_points: int,
+    static_pts_local: jnp.ndarray | None = None,  # [n_extra, 3] this hand
 ) -> jnp.ndarray:  # [num_crop_points, 3]
+    if static_pts_local is not None:
+        gt = landmarks_from_pose(hand_model, joint_angles, wrist_xf, hand_idx)
+        extra = affine.transform3(wrist_xf, static_pts_local)
+        return jnp.concatenate([gt, extra], axis=0)
     assert num_crop_points in (21, 42, 63)
     pts = [landmarks_from_pose(hand_model, joint_angles, wrist_xf, hand_idx)]
     if num_crop_points > 21:
@@ -108,6 +139,7 @@ def gen_crops_for_hand(
     hand_idx: jnp.ndarray,  # scalar int
     config: TrackerConfig,
     min_num_crops: int,
+    static_pts_local: jnp.ndarray | None = None,
 ):
     """Crop cameras for one hand -> per-slot (K, T_world_from_eye, src_idx,
     view_valid) + hand_valid."""
@@ -122,7 +154,8 @@ def gen_crops_for_hand(
     src_idx = jnp.where(slot_has_cam, order, 0).astype(jnp.int32)
 
     crop_pts = _crop_points(
-        hand_model, joint_angles, wrist_xf, hand_idx, config.num_crop_points
+        hand_model, joint_angles, wrist_xf, hand_idx,
+        config.num_crop_points, static_pts_local,
     )
 
     def fit_one(cam_idx):
@@ -162,19 +195,31 @@ def gen_crop_set(
     gt_confidences: jnp.ndarray,  # [2]
     config: TrackerConfig,
     min_num_crops: int,
+    static_pts_local: jnp.ndarray | None = None,  # [2, n_extra, 3]
 ) -> CropSet:
-    """Dense 2-hand crop set (reference gen_crop_cameras, tracker.py:101-139)."""
+    """Dense 2-hand crop set (reference gen_crop_cameras, tracker.py:101-139).
 
-    def per_hand(angles, wrist, conf, hand_idx):
+    ``static_pts_local`` (from :func:`static_crop_points_local`) supplies
+    the constant neutral/open crop-point sets; callers that process whole
+    sequences compute it once instead of per frame."""
+
+    def per_hand(angles, wrist, conf, hand_idx, static_h):
         return gen_crops_for_hand(
             rig, T_world_from_camera, hand_model, angles, wrist, conf,
-            hand_idx, config, min_num_crops,
+            hand_idx, config, min_num_crops, static_h,
         )
 
-    intr, twfe, src, vv, hv, nv = jax.vmap(per_hand)(
-        gt_joint_angles, gt_wrist_xfs, gt_confidences,
-        jnp.arange(2, dtype=jnp.int32),
-    )
+    if static_pts_local is None:
+        per_hand_fn = lambda a, w, c, h: per_hand(a, w, c, h, None)
+        intr, twfe, src, vv, hv, nv = jax.vmap(per_hand_fn)(
+            gt_joint_angles, gt_wrist_xfs, gt_confidences,
+            jnp.arange(2, dtype=jnp.int32),
+        )
+    else:
+        intr, twfe, src, vv, hv, nv = jax.vmap(per_hand)(
+            gt_joint_angles, gt_wrist_xfs, gt_confidences,
+            jnp.arange(2, dtype=jnp.int32), static_pts_local,
+        )
     return CropSet(
         intrinsics=intr,
         T_world_from_eye=twfe,

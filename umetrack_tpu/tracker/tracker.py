@@ -216,13 +216,22 @@ def _prepare_sequence(
     serializing them inside the scan they run for all T frames in parallel —
     this is where the tracker's wall-clock went (the per-step work is far
     too small to fill the chip; T-way batching fixes the utilization).
+
+    The pose-independent crop-point sets (neutral/open landmarks) are
+    hoisted out of the per-frame work — FK is rigid in the wrist, so per
+    frame they cost one transform instead of two full skinnings.
     """
+    from .crops import static_crop_points_local
+
+    static_pts = static_crop_points_local(
+        hand_model_mm, config.num_crop_points
+    )
 
     def per_frame(obs: FrameObservation):
         crop_set = gen_crop_set(
             rig, obs.T_world_from_camera, hand_model_mm,
             obs.gt_joint_angles, obs.gt_wrist_xfs, obs.gt_confidences,
-            config, min_num_crops,
+            config, min_num_crops, static_pts,
         )
         crop_images = _warp_crops(
             rig, obs.images, obs.T_world_from_camera, crop_set,
