@@ -32,7 +32,7 @@ TPU_V5E_BF16_PEAK = 197e12
 
 
 def bench_ours(t_frames=16, n_seqs=64, pipeline_depth=4,
-               compute_dtype="bfloat16", breakdown=False):
+               compute_dtype="bfloat16", breakdown=False, sampler=None):
     """Amortized batched-tracker throughput on the real chip.
 
     S sequences are tracked in one merged-batch scan; ``pipeline_depth``
@@ -44,7 +44,6 @@ def bench_ours(t_frames=16, n_seqs=64, pipeline_depth=4,
     throughput with host->device transfer amortized away — the production
     input pipeline overlaps transfers with compute (apps/sequence_eval.py).
     """
-    os.environ.setdefault("UMETRACK_BILINEAR", "pallas_win")
     import jax
     import jax.numpy as jnp
 
@@ -65,7 +64,8 @@ def bench_ours(t_frames=16, n_seqs=64, pipeline_depth=4,
 
     mcfg = ModelConfig(compute_dtype=compute_dtype)
     model, variables = init_model(jax.random.PRNGKey(0), mcfg)
-    cfg = TrackerConfig()
+    # Config-first sampler selection (None = auto: pallas_win on TPU).
+    cfg = TrackerConfig(sampler=sampler)
 
     stack = lambda x: jax.tree_util.tree_map(
         lambda a: jnp.stack([a] * n_seqs), x
@@ -153,7 +153,7 @@ def bench_ours(t_frames=16, n_seqs=64, pipeline_depth=4,
     )
     print(
         f"[bench] dtype={compute_dtype} sampler="
-        f"{os.environ.get('UMETRACK_BILINEAR')} S={n_seqs} T={t_frames}: "
+        f"{cfg.sampler or 'auto(pallas_win)'} S={n_seqs} T={t_frames}: "
         f"{prep_txt}fused {dt_frame*1e3:.1f} ms, "
         f"{fps:.0f} frames/s, {tflops:.1f} TFLOP/s on {flop_src} "
         f"{flops_per_frame/1e9:.2f} GFLOP/frame "
@@ -264,11 +264,14 @@ def main():
     p.add_argument("--no-reference", action="store_true")
     p.add_argument("--breakdown", action="store_true",
                    help="also time prep-only (extra XLA compile)")
+    p.add_argument("--sampler", default=None,
+                   help="bilinear warp impl (TrackerConfig.sampler); "
+                   "default auto = pallas_win on TPU")
     args = p.parse_args()
 
     ours_fps = bench_ours(
         t_frames=args.t, n_seqs=args.seqs, compute_dtype=args.dtype,
-        breakdown=args.breakdown,
+        breakdown=args.breakdown, sampler=args.sampler,
     )
     ref_fps = None
     if not args.no_reference:

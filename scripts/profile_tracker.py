@@ -49,12 +49,12 @@ def sampler_ab(args):
 
     ref = None
     for name in ["gather1d", "gather2d", "matmul", "pallas", "pallas_win"]:
-        os.environ["UMETRACK_BILINEAR"] = name
+        scfg = TrackerConfig(sampler=name)
 
         @jax.jit
-        def prep_only(rigs, seqs, hands):
+        def prep_only(rigs, seqs, hands, scfg=scfg):
             crop_sets, crop_images = jax.vmap(
-                lambda r, q, h: trk._prepare_sequence(cfg, r, q, h, 1)
+                lambda r, q, h: trk._prepare_sequence(scfg, r, q, h, 1)
             )(rigs, seqs, hands)
             return jnp.sum(crop_images), crop_images
 
@@ -79,7 +79,6 @@ def sampler_ab(args):
         except Exception as e:
             print(f"sampler {name:9s}: FAILED {type(e).__name__}: {e}",
                   flush=True)
-    os.environ.pop("UMETRACK_BILINEAR", None)
 
 
 def main():

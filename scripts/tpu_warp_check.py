@@ -31,10 +31,10 @@ rigs, hands, seqs = stack(rig), stack(hand), stack(seq)
 n_warps = s * 16 * 4
 outs = {}
 for name in ['gather1d', 'pallas']:
-    os.environ['UMETRACK_BILINEAR'] = name
+    scfg = TrackerConfig(sampler=name)
     @jax.jit
-    def prep(rigs, seqs, hands):
-        cs, ci = jax.vmap(lambda r, q, h: trk._prepare_sequence(cfg, r, q, h, 1))(rigs, seqs, hands)
+    def prep(rigs, seqs, hands, scfg=scfg):
+        cs, ci = jax.vmap(lambda r, q, h: trk._prepare_sequence(scfg, r, q, h, 1))(rigs, seqs, hands)
         return ci
     ci = prep(rigs, seqs, hands)
     outs[name] = np.asarray(ci)

@@ -22,6 +22,7 @@ jax.config.update("jax_enable_x64", True)
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_ROOT = "/root/reference"
+GENERIC_HAND_JSON = os.path.join(REPO_ROOT, "assets", "generic_hand_model.json")
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
@@ -59,7 +60,13 @@ def _install_pytorch3d_shim():
 
 @pytest.fixture(scope="session")
 def reference():
-    """Import the reference repo's `lib` package (read-only golden source)."""
+    """Import the reference repo's `lib` package (read-only golden source).
+
+    Parity tests are the only consumers of the reference checkout; when it
+    is absent the framework must still stand alone, so they skip rather
+    than fail (VERDICT r3 item 3)."""
+    if not os.path.isdir(os.path.join(REFERENCE_ROOT, "lib")):
+        pytest.skip("reference checkout not available (parity test)")
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     _install_pytorch3d_shim()
@@ -72,7 +79,7 @@ def reference():
 def generic_hand_model_dict():
     import json
 
-    with open(os.path.join(REFERENCE_ROOT, "dataset", "generic_hand_model.json")) as fp:
+    with open(GENERIC_HAND_JSON) as fp:
         return json.load(fp)
 
 

@@ -25,7 +25,12 @@ CKPT = os.path.join(
 )
 
 GATE_MM = 75.0  # round-3 achieved ~68 mm; north star 10.0 (BASELINE.md)
-GATE_SEED = 901  # held out: corpus uses 0..49_999 / 50_000.., eval apps 0..N
+# Seed allocation (single source of truth, ADVICE r3): corpus training
+# draws seeds [0, n_train), corpus testing 50_000+, tracker-domain
+# fine-tune 5_000+, this gate 901 (inside no band above — n_train <= 512
+# in every committed corpus), eval apps 1_000_000+ (reserved eval band,
+# --seed-base).
+GATE_SEED = 901
 
 
 @pytest.mark.skipif(

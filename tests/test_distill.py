@@ -5,7 +5,7 @@ set."""
 import numpy as np
 
 
-def test_distillation_loop_runs_and_gap_declines():
+def test_distillation_loop_runs_and_gap_declines(reference):
     from umetrack_tpu.apps.distill import run_distillation
 
     gaps, final = run_distillation(
@@ -26,7 +26,7 @@ def test_distillation_loop_runs_and_gap_declines():
         assert np.isfinite(final[key]), (key, final)
 
 
-def test_teacher_checkpoint_roundtrip(tmp_path):
+def test_teacher_checkpoint_roundtrip(tmp_path, reference):
     """--teacher *.torch loads through the converter (pretrained path)."""
     import torch
 

@@ -1,4 +1,6 @@
 """Metric parity vs. the reference metric_utils / load_eval math."""
+import os
+
 import numpy as np
 
 from umetrack_tpu import metrics
@@ -38,8 +40,10 @@ def test_auc_matches_reference(reference):
 def test_sequence_metrics_match_reference(reference):
     import importlib.util
 
+    from conftest import REFERENCE_ROOT
+
     spec = importlib.util.spec_from_file_location(
-        "ref_load_eval", "/root/reference/load_eval.py"
+        "ref_load_eval", os.path.join(REFERENCE_ROOT, "load_eval.py")
     )
     ref_load_eval = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ref_load_eval)

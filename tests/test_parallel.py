@@ -188,9 +188,9 @@ def test_batched_unknown_skeleton_matches_per_sequence(model_vars, small_sequenc
             float(scales_b[i]), float(scale_i), rtol=1e-4
         )
 
-    generic = load_hand_model_json(
-        "/root/reference/dataset/generic_hand_model.json"
-    )
+    from conftest import GENERIC_HAND_JSON
+
+    generic = load_hand_model_json(GENERIC_HAND_JSON)
     per_seq, n_valid, gmean, scales2 = eval_sequences_unknown_batched(
         model, cfg, variables, rigs, seqs, hands, generic,
         n_calibration_samples=6,

@@ -117,9 +117,9 @@ def test_unknown_streaming_protocol(synthetic_seq, tracker):
     from umetrack_tpu.kinematics.hand import load_hand_model_json
     from umetrack_tpu.tracker.video import stream_from_data
 
-    generic = load_hand_model_json(
-        "/root/reference/dataset/generic_hand_model.json"
-    )
+    from conftest import GENERIC_HAND_JSON
+
+    generic = load_hand_model_json(GENERIC_HAND_JSON)
     whole = eval_sequence_unknown(tracker, synthetic_seq, generic, 10)
     chunked = eval_sequence_unknown_streaming(
         tracker, stream_from_data(synthetic_seq), generic, 10, chunk=4

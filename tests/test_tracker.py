@@ -216,3 +216,105 @@ class TestSequenceTracking:
 
         scaled = scaled_hand_model(hand, our_scale)
         assert np.isfinite(np.asarray(scaled.joint_rest_positions)).all()
+
+
+class TestStreamingVsScanEquivalence:
+    """The streaming carry path (track_frame) and the hoisted-scan path
+    (track_sequence) claim the same reference semantics
+    (/root/reference/lib/models/temporal.py:93-139); this pins the two code
+    paths together so they cannot drift (round-2 advisor ask).
+
+    Both heads, f32 and bf16, on a rendered synthetic sequence with a
+    confidence dropout (so use_memory toggles mid-sequence).
+    """
+
+    @pytest.fixture(scope="class")
+    def eq_data(self):
+        labels, images = synthetic.make_labels_dict(6, rng_seed=11)
+        return synthetic.our_sequence(labels, images)
+
+    @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+    def test_track_frame_equals_scan(self, eq_data, dtype):
+        import jax
+        from umetrack_tpu.models import init_model
+        from umetrack_tpu.models.config import ModelConfig
+        from umetrack_tpu.tracker.types import FrameObservation
+
+        rig, seq, hand = eq_data
+        model, variables = init_model(
+            jax.random.PRNGKey(2), ModelConfig(compute_dtype=dtype)
+        )
+        tracker = HandTracker(model, variables)
+
+        # scan path over the whole sequence
+        res_scan, state_scan = tracker.track_sequence(rig, seq, hand)
+
+        # streaming path: track_frame per frame, threading the carry
+        state = tracker.init_state()
+        angles, wrists, valids, scales = [], [], [], []
+        t = int(np.asarray(seq.images).shape[0])
+        for ti in range(t):
+            obs = jax.tree_util.tree_map(lambda a: a[ti], seq)
+            res, state = tracker.track_frame(rig, obs, state, hand)
+            angles.append(np.asarray(res.joint_angles))
+            wrists.append(np.asarray(res.wrist_xfs))
+            valids.append(np.asarray(res.valid))
+
+        # bf16: both paths run the identical bf16 graph modulo batching of
+        # the backbone (T*B vs B rows) — BN reductions batch differently, so
+        # allow bf16-epsilon-scale slack; f32 must agree to fused-add slack.
+        # f32: reduction order differs between the T*B-batched backbone
+        # and the per-frame one (measured max diff 1.3e-5 rad) — allow 1e-4,
+        # still ~3 orders below any semantic drift.
+        atol_a = 1e-4 if dtype == "float32" else 2e-2
+        atol_w = 0.02 if dtype == "float32" else 2.0  # mm
+        np.testing.assert_array_equal(
+            np.stack(valids), np.asarray(res_scan.valid)
+        )
+        v = np.stack(valids)
+        np.testing.assert_allclose(
+            np.stack(angles)[v], np.asarray(res_scan.joint_angles)[v],
+            atol=atol_a,
+        )
+        np.testing.assert_allclose(
+            np.stack(wrists)[v][..., :3, 3],
+            np.asarray(res_scan.wrist_xfs)[v][..., :3, 3],
+            atol=atol_w,
+        )
+
+        # T=1 scan == first streaming step (same zero state on both sides)
+        seq1 = jax.tree_util.tree_map(lambda a: a[:1], seq)
+        res1, state1 = tracker.track_sequence(rig, seq1, hand)
+        np.testing.assert_allclose(
+            np.asarray(res1.joint_angles)[0][valids[0]],
+            angles[0][valids[0]], atol=atol_a,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res1.wrist_xfs)[0][valids[0]][..., :3, 3],
+            wrists[0][valids[0]][..., :3, 3], atol=atol_w,
+        )
+
+    def test_scale_head_streaming_equals_scan(self, eq_data):
+        import jax
+        from umetrack_tpu.models import init_model
+        from umetrack_tpu.models.config import ModelConfig
+
+        rig, seq, hand = eq_data
+        model, variables = init_model(jax.random.PRNGKey(3), ModelConfig())
+        tracker = HandTracker(model, variables)
+
+        scales_scan, valid_scan, _ = tracker.predict_scales(rig, seq, hand)
+
+        state = tracker.init_state()
+        t = int(np.asarray(seq.images).shape[0])
+        for ti in range(t):
+            obs = jax.tree_util.tree_map(lambda a: a[ti], seq)
+            res, state = tracker.track_frame_and_calibrate_scale(
+                rig, obs, state, hand
+            )
+            if bool(np.asarray(res.valid).any()):
+                np.testing.assert_allclose(
+                    np.asarray(res.predicted_scales)[np.asarray(res.valid)],
+                    np.asarray(scales_scan[ti])[np.asarray(valid_scan[ti])],
+                    atol=1e-5,
+                )

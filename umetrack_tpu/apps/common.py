@@ -49,15 +49,23 @@ def resolve_dtype(dtype: str) -> str:
     return "bfloat16" if on_tpu else "float32"
 
 
+def tracker_config_from_args(args, **overrides):
+    """TrackerConfig with the CLI's sampler selection applied (config-first:
+    the sampler flows through TrackerConfig into the jitted warp, never via
+    env vars read at trace time)."""
+    from ..tracker import TrackerConfig
+
+    if getattr(args, "sampler", None):
+        overrides.setdefault("sampler", args.sampler)
+    return TrackerConfig(**overrides)
+
+
 def setup_runtime(args) -> Tuple[int, int]:
     """Apply runtime flags; returns (rank, world_size) for sequence sharding.
 
-    Must run before any JAX trace: the sampler pin is read at trace time and
-    ``jax.distributed.initialize`` must precede backend init.
+    Must run before any JAX trace (``jax.distributed.initialize`` must
+    precede backend init).
     """
-    if getattr(args, "sampler", None):
-        os.environ["UMETRACK_BILINEAR"] = args.sampler
-
     from ..parallel import distributed
     from ..utils.compile_cache import enable_compile_cache
 

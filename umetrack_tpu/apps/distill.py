@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 from functools import partial
 from typing import Optional
 
@@ -58,6 +59,13 @@ def build_teacher(checkpoint: Optional[str] = None, seed: int = 0):
     import sys
     import types
 
+    # Random-init teacher instantiates the reference torch model (parity
+    # tooling; requires the read-only reference checkout).
+    if not os.path.isdir("/root/reference/lib"):
+        raise FileNotFoundError(
+            "random-init teacher needs the reference checkout at "
+            "/root/reference; pass --teacher <state.torch> instead"
+        )
     sys.path.insert(0, "/root/reference")
     import torch
 

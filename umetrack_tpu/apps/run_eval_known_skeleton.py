@@ -88,9 +88,11 @@ def run_synthetic(args, tracker: HandTracker):
     errors = []
     for i in range(args.synthetic):
         labels, images = synthetic.make_labels_dict(
-            args.synthetic_frames, rng_seed=i,
+            args.synthetic_frames, rng_seed=args.seed_base + i,
             mode=args.synthetic_mode,
-            hand_scale=synthetic_scale(i, args.synthetic_scale_jitter),
+            hand_scale=synthetic_scale(
+                args.seed_base + i, args.synthetic_scale_jitter
+            ),
         )
         rig, obs_seq, hand = synthetic.our_sequence(labels, images)
         from ..tracker.video import SequenceData
@@ -139,7 +141,14 @@ def main(argv=None):
     parser.add_argument("--synthetic-scale-jitter", type=float, default=0.15,
                         help="per-sequence GT hand scale ~U[1-j, 1+j]; 0 "
                         "disables")
-    from .common import add_runtime_flags, setup_runtime
+    # Seed bands (ADVICE r3): corpus training seeds are [0, n_train),
+    # corpus test 50_000+, tracker fine-tune 5_000+; eval draws from a
+    # reserved band disjoint from every training seed so held-out means
+    # held-out on the motion axis too.
+    parser.add_argument("--seed-base", type=int, default=1_000_000,
+                        help="first rng seed for synthetic eval sequences "
+                        "(reserved band, disjoint from all training seeds)")
+    from .common import add_runtime_flags, setup_runtime, tracker_config_from_args
 
     add_runtime_flags(parser)
     args = parser.parse_args(argv)
@@ -147,7 +156,7 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args.rank, args.world_size = setup_runtime(args)
     model, variables = load_model(args.checkpoint, args.dtype)
-    tracker = HandTracker(model, variables)
+    tracker = HandTracker(model, variables, tracker_config_from_args(args))
 
     if args.synthetic:
         run_synthetic(args, tracker)

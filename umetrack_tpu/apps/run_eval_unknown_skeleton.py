@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 
 import numpy as np
 
@@ -27,7 +28,11 @@ from .sequence_eval import (
 
 logger = logging.getLogger(__name__)
 
-DEFAULT_GENERIC_HAND = "/root/reference/dataset/generic_hand_model.json"
+# Vendored data asset (the reference's dataset/generic_hand_model.json).
+DEFAULT_GENERIC_HAND = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "assets", "generic_hand_model.json",
+)
 
 
 def main(argv=None):
@@ -47,7 +52,14 @@ def main(argv=None):
     parser.add_argument("--synthetic-mode", default="separate",
                         choices=["separate", "hand_hand"])
     parser.add_argument("--synthetic-scale-jitter", type=float, default=0.15)
-    from .common import add_runtime_flags, setup_runtime
+    # Seed bands (ADVICE r3): the corpus trains on seeds [0, n_train) and
+    # tests on 50_000+, tracker fine-tune draws 5_000+; eval must come from
+    # a band none of them touch or the GT motion trajectories are
+    # bit-identical to training ones.
+    parser.add_argument("--seed-base", type=int, default=1_000_000,
+                        help="first rng seed for synthetic eval sequences "
+                        "(reserved band, disjoint from all training seeds)")
+    from .common import add_runtime_flags, setup_runtime, tracker_config_from_args
 
     add_runtime_flags(parser)
     args = parser.parse_args(argv)
@@ -55,7 +67,7 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args.rank, args.world_size = setup_runtime(args)
     model, variables = load_model(args.checkpoint, args.dtype)
-    tracker = HandTracker(model, variables)
+    tracker = HandTracker(model, variables, tracker_config_from_args(args))
     generic = load_hand_model_json(args.generic_hand_model)
 
     errors = []
@@ -67,9 +79,11 @@ def main(argv=None):
 
         for i in range(args.synthetic):
             labels, images = synthetic.make_labels_dict(
-                args.synthetic_frames, rng_seed=i,
+                args.synthetic_frames, rng_seed=args.seed_base + i,
                 mode=args.synthetic_mode,
-                hand_scale=synthetic_scale(i, args.synthetic_scale_jitter),
+                hand_scale=synthetic_scale(
+                    args.seed_base + i, args.synthetic_scale_jitter
+                ),
             )
             rig, obs_seq, hand = synthetic.our_sequence(labels, images)
             seq = SequenceData(

@@ -110,11 +110,12 @@ def _warp_kernel(image_t_ref, x_ref, y_ref, out_ref, *, h: int, w: int,
     )[None]
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "use_int8"))
 def pallas_bilinear_sample(
     image: jnp.ndarray,  # [H, W] any real dtype
     coords: jnp.ndarray,  # [..., 2] (x, y)
     interpret: bool = False,
+    use_int8: bool = True,
 ) -> jnp.ndarray:  # [...]
     """Drop-in replacement for ops.resample.bilinear_sample."""
     h, w = image.shape
@@ -132,9 +133,6 @@ def pallas_bilinear_sample(
     xs = flat[:, 0].reshape(n_blocks, SUBLANES, LANES)
     ys = flat[:, 1].reshape(n_blocks, SUBLANES, LANES)
 
-    import os
-
-    use_int8 = os.environ.get("UMETRACK_PALLAS_INT8", "1") != "0"
     if interpret:
         # CPU interpret mode: plain f32 dots.
         sel_dtype, acc_dtype, bias = jnp.float32, jnp.float32, 0.0
@@ -240,11 +238,12 @@ def _warp_kernel_win(img_t_ref, x_ref, y_ref, meta_ref, out_ref, *,
         out_ref[:] = lane_slices(img_t_ref[:], w_pad, h_pad, 0, 0)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "use_int8"))
 def pallas_bilinear_sample_windowed(
     image: jnp.ndarray,  # [H, W] any real dtype
     coords: jnp.ndarray,  # [..., 2] (x, y)
     interpret: bool = False,
+    use_int8: bool = True,
 ) -> jnp.ndarray:  # [...]
     """Windowed variant of :func:`pallas_bilinear_sample` (same contract).
 
@@ -266,7 +265,9 @@ def pallas_bilinear_sample_windowed(
     w_pad = -(-w // 32) * 32  # sublane dim (int8 tile)
     if h_pad < WIN_Y or w_pad < WIN_X:
         # window would exceed the (padded) source: nothing to win
-        return pallas_bilinear_sample(image, coords, interpret=interpret)
+        return pallas_bilinear_sample(
+            image, coords, interpret=interpret, use_int8=use_int8
+        )
 
     batch_shape = coords.shape[:-1]
     p = 1
@@ -300,9 +301,6 @@ def pallas_bilinear_sample_windowed(
         [x_base, y_base, (fits_y & fits_x).astype(jnp.int32)], axis=-1
     )[:, None, :]  # [n_blocks, 1, 3] int32
 
-    import os
-
-    use_int8 = os.environ.get("UMETRACK_PALLAS_INT8", "1") != "0"
     if interpret:
         # CPU interpret mode: plain f32 dots.
         sel_dtype, acc_dtype, bias = jnp.float32, jnp.float32, 0.0

@@ -110,16 +110,16 @@ def _bilinear_matmul(image, coords):
     return jnp.where(valid, out, 0.0)
 
 
-def _bilinear_pallas(image, coords):
+def _bilinear_pallas(image, coords, use_int8=True):
     from .pallas_resample import pallas_bilinear_sample
 
-    return pallas_bilinear_sample(image, coords)
+    return pallas_bilinear_sample(image, coords, use_int8=use_int8)
 
 
-def _bilinear_pallas_win(image, coords):
+def _bilinear_pallas_win(image, coords, use_int8=True):
     from .pallas_resample import pallas_bilinear_sample_windowed
 
-    return pallas_bilinear_sample_windowed(image, coords)
+    return pallas_bilinear_sample_windowed(image, coords, use_int8=use_int8)
 
 
 _SAMPLERS = {
@@ -130,21 +130,15 @@ _SAMPLERS = {
     "pallas_win": _bilinear_pallas_win,
 }
 
-import os as _os
-
-# Override with UMETRACK_BILINEAR={gather2d,gather1d,matmul,pallas}.
-# Read at trace time, so the env var also works after import.
-
 
 def default_sampler() -> str:
     """On TPU the windowed Pallas MXU kernel wins the A/B
     (scripts/profile_tracker.py --samplers on v5e: 53.5 us/warp windowed vs
     66.4 full-height vs 613 XLA gather — 11.5x over the gather); elsewhere
     (CPU tests, interpret-less platforms) the portable gather is the
-    default."""
-    env = _os.environ.get("UMETRACK_BILINEAR")
-    if env:
-        return env
+    default.  Selection is config, not env (TrackerConfig.sampler): env vars
+    read at trace time inside jit silently stop working after the first
+    trace."""
     try:
         on_tpu = jax.default_backend() in ("tpu", "axon")
     except Exception:
@@ -156,17 +150,23 @@ def bilinear_sample(
     image: jnp.ndarray,  # [H, W]
     coords: jnp.ndarray,  # [..., 2] (x, y) source pixel coords
     method: str | None = None,
+    use_int8: bool = True,
 ) -> jnp.ndarray:  # [...]
     """Bilinear sampling with zero outside ``[0, W-2] x [0, H-2]``.
 
     Matches the reference resampler's out-of-bounds rule
     (data_transform.py:104-109): a sample is valid only when its floor cell
     has all four neighbors inside the image; invalid samples return 0.
-    Four equivalent implementations are selectable (see _SAMPLERS); the
+    Five equivalent implementations are selectable (see _SAMPLERS); the
     default is the Pallas MXU kernel, which A/B-benchmarks fastest on TPU
-    (scripts/profile_tracker.py --samplers).
+    (scripts/profile_tracker.py --samplers).  ``use_int8`` only affects the
+    Pallas kernels (uint8 sources on the int8 MXU path).
     """
     fn = _SAMPLERS[method or default_sampler()]
+    if method in ("pallas", "pallas_win") or (
+        method is None and fn in (_bilinear_pallas, _bilinear_pallas_win)
+    ):
+        return fn(image, coords, use_int8=use_int8)
     return fn(image, coords)
 
 
@@ -246,8 +246,10 @@ def warp_fisheye_to_pinhole(
     dst_T_world_from_eye: jnp.ndarray,
     src_cam: Fisheye62Camera,
     out_size: Tuple[int, int],
+    method: str | None = None,
+    use_int8: bool = True,
 ) -> jnp.ndarray:  # [h, w]
     coords = fisheye_to_pinhole_coords(
         dst_intrinsics, dst_T_world_from_eye, src_cam, out_size
     )
-    return bilinear_sample(image, coords)
+    return bilinear_sample(image, coords, method=method, use_int8=use_int8)

@@ -48,6 +48,8 @@ def _warp_crops(
     T_world_from_camera: jnp.ndarray,  # [N, 4, 4]
     crop_set: CropSet,
     crop_size: Tuple[int, int],
+    sampler: str | None = None,
+    use_int8: bool = True,
 ) -> jnp.ndarray:  # [2, V, h, w] in [0, 1]
     """Warp each (hand, view) slot's source fisheye view into its crop
     camera (reference _warp_image + /255, tracker.py:54-80,211)."""
@@ -68,7 +70,9 @@ def _warp_crops(
             T_world_from_eye=T_world_from_camera[src_idx],
         )
         img = jnp.take(images, src_idx, axis=0)
-        return warp_fisheye_to_pinhole(img, k, t_wfe, cam, crop_size)
+        return warp_fisheye_to_pinhole(
+            img, k, t_wfe, cam, crop_size, method=sampler, use_int8=use_int8
+        )
 
     warped = jax.vmap(warp_one)(flat_src, flat_k, flat_t)
     warped = warped.reshape(*crop_set.src_cam_idx.shape, *crop_size)
@@ -140,7 +144,8 @@ def _track_step(
         min_num_crops,
     )
     crop_images = _warp_crops(
-        rig, obs.images, obs.T_world_from_camera, crop_set, config.crop_size
+        rig, obs.images, obs.T_world_from_camera, crop_set, config.crop_size,
+        sampler=config.sampler, use_int8=config.pallas_int8,
     )
     frame = _frame_inputs_from_crops(
         crop_set, crop_images, state, config.enable_memory
@@ -235,7 +240,8 @@ def _prepare_sequence(
         )
         crop_images = _warp_crops(
             rig, obs.images, obs.T_world_from_camera, crop_set,
-            config.crop_size,
+            config.crop_size, sampler=config.sampler,
+            use_int8=config.pallas_int8,
         )
         return crop_set, crop_images
 

@@ -47,12 +47,9 @@ N_CAMS = 4
 
 
 def load_generic_hand_dict():
-    path = GENERIC_HAND_JSON
-    if not os.path.exists(path):
-        alt = "/root/reference/dataset/generic_hand_model.json"
-        if os.path.exists(alt):
-            path = alt
-    with open(path) as fp:
+    """Load the vendored generic hand model (assets/generic_hand_model.json,
+    the reference's dataset/generic_hand_model.json data asset)."""
+    with open(GENERIC_HAND_JSON) as fp:
         return json.load(fp)
 
 
