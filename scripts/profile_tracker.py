@@ -81,15 +81,113 @@ def sampler_ab(args):
                   flush=True)
 
 
+def phase_split(args):
+    """Sub-phase split of prep at one config: crop-gen only, +coordinate
+    fields, +sampling (full prep) — three jitted scalars, so the deltas
+    attribute prep time to its three terms (ROOFLINE.md round-4 items)."""
+    import jax
+    import jax.numpy as jnp
+
+    from umetrack_tpu.geometry.cameras import Fisheye62Camera
+    from umetrack_tpu.ops.resample import fisheye_to_pinhole_coords
+    from umetrack_tpu.tracker import TrackerConfig
+    from umetrack_tpu.tracker import tracker as trk
+    from umetrack_tpu.tracker.crops import static_crop_points_local
+    from umetrack_tpu.utils import synthetic
+    from umetrack_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    t_frames = args.t
+    s = args.s
+    labels, images = synthetic.make_labels_dict(t_frames, rng_seed=0)
+    rig, seq, hand = synthetic.our_sequence(labels, images)
+    cfg = TrackerConfig()
+    stack = lambda x: jax.tree_util.tree_map(lambda a: jnp.stack([a] * s), x)
+    rigs, hands, seqs = stack(rig), stack(hand), stack(seq)
+    n_frames = s * t_frames
+    n_warps = n_frames * 4
+
+    def gen_only_seq(cfg, rig, seq, hand, min_crops):
+        static_pts = static_crop_points_local(hand, cfg.num_crop_points)
+
+        def per_frame(obs):
+            return trk.gen_crop_set(
+                rig, obs.T_world_from_camera, hand, obs.gt_joint_angles,
+                obs.gt_wrist_xfs, obs.gt_confidences, cfg, min_crops,
+                static_pts,
+            )
+
+        return jax.vmap(per_frame)(seq)
+
+    @jax.jit
+    def gen_only(rigs, seqs, hands):
+        cs = jax.vmap(lambda r, q, h: gen_only_seq(cfg, r, q, h, 1))(
+            rigs, seqs, hands
+        )
+        return (jnp.sum(cs.intrinsics) + jnp.sum(cs.T_world_from_eye)
+                + jnp.sum(cs.n_views))
+
+    def coords_for_seq(cfg, rig, seq, hand):
+        cs = gen_only_seq(cfg, rig, seq, hand, 1)
+
+        def per_frame(cs_f, t_wc):
+            flat_src = cs_f.src_cam_idx.reshape(-1)
+            flat_k = cs_f.intrinsics.reshape(-1, 3, 3)
+            flat_t = cs_f.T_world_from_eye.reshape(-1, 4, 4)
+
+            def one(src_idx, k, t_wfe):
+                cam = Fisheye62Camera(
+                    fx=rig.fx[src_idx], fy=rig.fy[src_idx],
+                    cx=rig.cx[src_idx], cy=rig.cy[src_idx],
+                    width=rig.width[src_idx], height=rig.height[src_idx],
+                    coeffs=rig.coeffs[src_idx],
+                    T_world_from_eye=t_wc[src_idx],
+                )
+                return fisheye_to_pinhole_coords(k, t_wfe, cam, cfg.crop_size)
+
+            return jax.vmap(one)(flat_src, flat_k, flat_t)
+
+        return jax.vmap(per_frame)(cs, seq.T_world_from_camera)
+
+    @jax.jit
+    def gen_coords(rigs, seqs, hands):
+        c = jax.vmap(lambda r, q, h: coords_for_seq(cfg, r, q, h))(
+            rigs, seqs, hands
+        )
+        return jnp.sum(c)
+
+    @jax.jit
+    def full_prep(rigs, seqs, hands):
+        cs, ci = jax.vmap(
+            lambda r, q, h: trk._prepare_sequence(cfg, r, q, h, 1)
+        )(rigs, seqs, hands)
+        return jnp.sum(ci) + jnp.sum(cs.intrinsics)
+
+    dt_gen = timed(gen_only, rigs, seqs, hands)
+    dt_gc = timed(gen_coords, rigs, seqs, hands)
+    dt_full = timed(full_prep, rigs, seqs, hands)
+    print(f"[S={s} T={t_frames}] crop-gen only : {dt_gen*1e3:8.1f} ms", flush=True)
+    print(f"[S={s} T={t_frames}] +coord fields : {dt_gc*1e3:8.1f} ms "
+          f"(coords ~{(dt_gc-dt_gen)*1e3:.1f} ms, "
+          f"{(dt_gc-dt_gen)/n_warps*1e6:.1f} us/warp)", flush=True)
+    print(f"[S={s} T={t_frames}] full prep     : {dt_full*1e3:8.1f} ms "
+          f"(sampling ~{(dt_full-dt_gc)*1e3:.1f} ms, "
+          f"{(dt_full-dt_gc)/n_warps*1e6:.1f} us/warp)", flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     p.add_argument("--samplers", action="store_true")
+    p.add_argument("--phases", action="store_true")
     p.add_argument("--t", type=int, default=16)
+    p.add_argument("--s", type=int, default=64)
     args = p.parse_args()
 
     if args.samplers:
         return sampler_ab(args)
+    if args.phases:
+        return phase_split(args)
 
     import jax
     import jax.numpy as jnp

@@ -197,6 +197,7 @@ def prepare_tracker_sequences(
                 crop_sets.T_world_from_eye, np.float32
             ),
             view_valid=np.asarray(crop_sets.view_valid),
+            hand_valid=np.asarray(crop_sets.hand_valid),  # [T, 2]
             n_views=np.asarray(crop_sets.n_views, np.int32),
             angles=np.asarray(labels["joint_angles"], np.float32),
             wrists_mm=np.asarray(labels["wrist_transforms"], np.float32),
@@ -234,10 +235,18 @@ def tracker_domain_batches(
         imgs, intr, extr, nviews, angles, wrists, skel_axes, skel_rest = (
             [], [], [], [], [], [], [], []
         )
-        hands, scales = [], []
+        hands, scales, valids = [], [], []
         for j in idxs:
             e = entries[int(j)]
             for h in range(2):
+                # supervision mask (ADVICE r3): rows with an invalid hand or
+                # zero valid crops keep their fallback geometry but are
+                # excluded from the loss.
+                hv = e.get("hand_valid")
+                valids.append(
+                    (hv[sl, h] if hv is not None else np.ones(k, bool))
+                    & (e["n_views"][sl, h] > 0)
+                )
                 imgs.append(e["images"][sl, h])  # [k, V, hh, ww]
                 ki = e["intrinsics"][sl, h]
                 extr_mm = _np_rigid_inverse(e["T_world_from_eye"][sl, h])
@@ -293,6 +302,7 @@ def tracker_domain_batches(
             gt_wrist_world=jnp.asarray(np.stack(wrists)),
             hand=hand_b_m,
             gt_scales=jnp.asarray(np.asarray(scales, np.float32)),
+            valid=jnp.asarray(np.stack(valids)),
         )
 
 

@@ -87,9 +87,16 @@ def compute_sequence_metrics(
         valid_tracking[:, 0:-2] & valid_tracking[:, 1:-1] & valid_tracking[:, 2:]
     )
     if gt_joint_angles is not None and tracked_joint_angles is not None:
-        # MPJPA (eq. 10): mean absolute per-joint angle difference, degrees,
-        # over the 20 actuated finger DoF (the 2 appended wrist angles are
-        # always zero in both GT labels and predictions).
+        # MPJPA — OUR definition: mean absolute per-joint angle difference,
+        # degrees, over the 20 actuated finger DoF (the 2 appended wrist
+        # angles are always zero in both GT labels and predictions).
+        # Caveat: the reference README (README.md:47) quotes "MPJPA (deg),
+        # eq. 10 of the paper" but the repo never implements it and the
+        # paper's eq. 10 is not in the checkout, so this is the natural
+        # reading of "mean per-joint position angle" on the 22-DoF angle
+        # parameterization both codebases share — a plausible
+        # reconstruction, NOT a parity-tested formula.  Any parity claim on
+        # the MPJPA column must carry this caveat (VERDICT r3 item 4).
         ang = np.abs(gt_joint_angles[..., :20] - tracked_joint_angles[..., :20])
         angle_errors = np.degrees(ang.mean(axis=-1))[valid_tracking]
     else:

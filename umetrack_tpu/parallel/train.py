@@ -45,6 +45,10 @@ class TrainBatch:
     gt_wrist_world: jnp.ndarray  # [B, 4, 4] left-convention, meters
     hand: HandModel  # batched [B, ...] (left, meters)
     gt_scales: Optional[jnp.ndarray] = None  # [B]
+    # Per-row supervision mask (ADVICE r3): rows whose crops were invalid
+    # (hand out of view / zero valid views floored to 1) must not be trained
+    # against real GT on a meaningless fallback crop.  None = all valid.
+    valid: Optional[jnp.ndarray] = None  # [B] bool
 
 
 @struct.dataclass
@@ -63,6 +67,8 @@ class TemporalTrainBatch:
     gt_wrist_world: jnp.ndarray  # [B, K, 4, 4] left-convention, meters
     hand: HandModel  # batched [B, ...] (left, meters)
     gt_scales: Optional[jnp.ndarray] = None  # [B]
+    # Per-(row, frame) supervision mask; see TrainBatch.valid.
+    valid: Optional[jnp.ndarray] = None  # [B, K] bool
 
 
 @struct.dataclass
@@ -99,12 +105,27 @@ def _frame_losses(
     gt_joint_angles: jnp.ndarray,
     gt_wrist_world: jnp.ndarray,
     hand: HandModel,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    valid: Optional[jnp.ndarray] = None,  # [B] bool row mask
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-frame supervised terms shared by the single-frame and TBPTT
-    losses: (angle MSE, wrist rigid-point MSE in cam0, landmark NLL)."""
+    losses: (angle MSE, wrist rigid-point MSE in cam0, landmark NLL,
+    valid-row count).  Losses are sums over valid rows / per-row means over
+    their inner dims; callers divide by the returned count so masked rows
+    contribute exactly nothing (ADVICE r3: fallback crops of invalid rows
+    must not be supervised against real GT)."""
+    b = gt_joint_angles.shape[0]
+    w_row = (
+        jnp.ones((b,), jnp.float32)
+        if valid is None
+        else valid.astype(jnp.float32)
+    )
+    count = jnp.sum(w_row)
+
     # 1) finger-angle MSE (wrist slots are identically zero on both sides)
-    angle_loss = jnp.mean(
-        (out.joint_angles[:, :20] - gt_joint_angles[:, :20]) ** 2
+    angle_loss = jnp.sum(
+        w_row
+        * jnp.mean((out.joint_angles[:, :20] - gt_joint_angles[:, :20]) ** 2,
+                   axis=-1)
     )
 
     # 2) wrist rigid points in cam0.  The model's decode chain is
@@ -124,7 +145,9 @@ def _frame_losses(
     gt_wrist_cam0 = e0 @ gt_eff
     rigid = jnp.asarray(gen_rigid_points(model.config.n_wrist_rigid_pts))
     gt_points = jax.vmap(lambda m: affine.transform3(m, rigid))(gt_wrist_cam0)
-    point_loss = jnp.mean((out.wrist_points - gt_points) ** 2)
+    point_loss = jnp.sum(
+        w_row * jnp.mean((out.wrist_points - gt_points) ** 2, axis=(-2, -1))
+    )
 
     # 3) landmark NLL with predicted angles + GT wrist (no SVD in the path)
     pred_lm = skin_landmarks(hand, out.joint_angles, gt_wrist_world)
@@ -136,8 +159,10 @@ def _frame_losses(
     # when fine-tuning onto the tracker-crop domain).  The floor only caps
     # the NLL's confidence reward; the decode itself is untouched.
     sig = jnp.maximum(out.landmark_uncertainty_sigmas, 1e-3)
-    nll = jnp.mean(jnp.log(sig) + 0.5 * (err / sig) ** 2)
-    return angle_loss, point_loss, nll
+    nll = jnp.sum(
+        w_row * jnp.mean(jnp.log(sig) + 0.5 * (err / sig) ** 2, axis=-1)
+    )
+    return angle_loss, point_loss, nll, count
 
 
 def loss_fn(
@@ -161,9 +186,13 @@ def loss_fn(
         mutable=["batch_stats"],
     )
 
-    angle_loss, point_loss, nll = _frame_losses(
+    angle_loss, point_loss, nll, count = _frame_losses(
         model, out, batch.frame, batch.gt_joint_angles,
-        batch.gt_wrist_world, batch.hand,
+        batch.gt_wrist_world, batch.hand, batch.valid,
+    )
+    denom = jnp.maximum(count, 1.0)
+    angle_loss, point_loss, nll = (
+        angle_loss / denom, point_loss / denom, nll / denom
     )
 
     total = (
@@ -215,15 +244,21 @@ def temporal_loss_fn(
 
     time_major = lambda a: jnp.moveaxis(a, 0, 1)
     frames_t = jax.tree_util.tree_map(time_major, batch.frames)
+    valid_t = (
+        jnp.ones((k, b), bool)
+        if batch.valid is None
+        else time_major(batch.valid)
+    )
     xs = (
         frames_t,
         time_major(batch.gt_joint_angles),
         time_major(batch.gt_wrist_world),
+        valid_t,
     )
 
     def step(carry, x):
         state, stats = carry
-        frame, gt_angles, gt_wrist = x
+        frame, gt_angles, gt_wrist, valid = x
         (out, new_state), mutated = model.apply(
             {"params": params, "batch_stats": stats},
             frame,
@@ -234,12 +269,16 @@ def temporal_loss_fn(
             mutable=["batch_stats"],
         )
         losses = _frame_losses(
-            model, out, frame, gt_angles, gt_wrist, batch.hand
+            model, out, frame, gt_angles, gt_wrist, batch.hand, valid
         )
         return (new_state, mutated["batch_stats"]), jnp.stack(losses)
 
     (_, new_stats), per_step = jax.lax.scan(step, (state0, batch_stats), xs)
-    angle_loss, point_loss, nll = jnp.mean(per_step, axis=0)
+    # per_step rows are (sum, sum, sum, count) — normalize over ALL valid
+    # (row, frame) supervision slots in the window.
+    sums = jnp.sum(per_step, axis=0)
+    denom = jnp.maximum(sums[3], 1.0)
+    angle_loss, point_loss, nll = sums[0] / denom, sums[1] / denom, sums[2] / denom
 
     total = (
         weights.angles * angle_loss
