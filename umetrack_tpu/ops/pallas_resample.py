@@ -67,47 +67,44 @@ WIN_Y = 256
 
 def _warp_kernel(image_t_ref, x_ref, y_ref, out_ref, *, h: int, w: int,
                  sel_dtype, acc_dtype, bias: float):
+    """Full-height warp, whole 1024-pixel block as one wide op set (2 MXU
+    dots on [W, H] x [H, 1024]; see _warp_kernel_win for why wide beats the
+    8 x 128-lane-slice structure)."""
     img_t = image_t_ref[:]  # [W, H] int8 / bf16 (f32 in interpret mode)
+    p = SUBLANES * LANES
 
-    def lane_slice(i):
-        x = x_ref[0, i, :].reshape(1, LANES)
-        y = y_ref[0, i, :].reshape(1, LANES)
+    x = x_ref[0].reshape(1, p)
+    y = y_ref[0].reshape(1, p)
+    valid = (x >= 0) & (x < w - 1) & (y >= 0) & (y < h - 1)
+    x = jnp.clip(x, 0.0, w - 2)
+    y = jnp.clip(y, 0.0, h - 2)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
 
-        valid = (x >= 0) & (x < w - 1) & (y >= 0) & (y < h - 1)
-        x = jnp.clip(x, 0.0, w - 2)
-        y = jnp.clip(y, 0.0, h - 2)
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        wx = x - x0
-        wy = y - y0
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, p), 0)
+    oh_y0 = (rows == y0i).astype(sel_dtype)  # exact 0/1
+    oh_y1 = (rows == y0i + 1).astype(sel_dtype)
 
-        rows = jax.lax.broadcasted_iota(jnp.int32, (h, LANES), 0)
-        oh_y0 = (rows == y0i).astype(sel_dtype)  # exact 0/1
-        oh_y1 = (rows == y0i + 1).astype(sel_dtype)
+    dn = (((1,), (0,)), ((), ()))
+    r0 = jax.lax.dot_general(
+        img_t, oh_y0, dn, preferred_element_type=acc_dtype
+    )  # [W, p]
+    r1 = jax.lax.dot_general(
+        img_t, oh_y1, dn, preferred_element_type=acc_dtype
+    )
+    # undo the int8 rebias (each selector column sums to exactly 1)
+    r = (r0.astype(jnp.float32) * (1.0 - wy)
+         + r1.astype(jnp.float32) * wy)
 
-        dn = (((1,), (0,)), ((), ()))
-        r0 = jax.lax.dot_general(
-            img_t, oh_y0, dn, preferred_element_type=acc_dtype
-        )  # [W, 128]
-        r1 = jax.lax.dot_general(
-            img_t, oh_y1, dn, preferred_element_type=acc_dtype
-        )
-        # undo the int8 rebias (each selector column sums to exactly 1)
-        r0 = r0.astype(jnp.float32) + bias
-        r1 = r1.astype(jnp.float32) + bias
-        r = r0 * (1.0 - wy) + r1 * wy  # wy broadcasts [1,128] over [W,128]
-
-        cols = jax.lax.broadcasted_iota(jnp.int32, (w, LANES), 0)
-        # combined column pick + x-lerp in one masked f32 reduction
-        wxm = (cols == x0i) * (1.0 - wx) + (cols == x0i + 1) * wx
-        out = jnp.sum(r * wxm, axis=0, keepdims=True)  # [1, 128]
-        return jnp.where(valid, out, 0.0)
-
-    out_ref[:] = jnp.concatenate(
-        [lane_slice(i) for i in range(SUBLANES)], axis=0
-    )[None]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (w, p), 0)
+    # combined column pick + x-lerp in one masked f32 reduction
+    wxm = (cols == x0i) * (1.0 - wx) + (cols == x0i + 1) * wx
+    out = jnp.sum(r * wxm, axis=0, keepdims=True) + bias
+    out_ref[:] = jnp.where(valid, out, 0.0).reshape(1, SUBLANES, LANES)
 
 
 @partial(jax.jit, static_argnames=("interpret", "use_int8"))
@@ -177,50 +174,53 @@ def pallas_bilinear_sample(
 def _warp_kernel_win(img_t_ref, x_ref, y_ref, meta_ref, out_ref, *,
                      h: int, w: int, h_pad: int, w_pad: int,
                      sel_dtype, acc_dtype, bias: float):
-    """Windowed warp: same per-lane-slice structure as :func:`_warp_kernel`,
-    but the row-pick matmuls contract a WIN_X x WIN_Y dynamic slice of the
-    transposed source shared by the whole 1024-pixel block (bases precomputed
-    outside, tile-aligned) — ~5x fewer MXU MACs and ~3x less VPU epilogue
-    than full-height.  Blocks whose samples span more than the window fall
-    back to the exact full-image path via pl.when; identical output either
-    way."""
+    """Windowed warp: the row-pick matmuls contract a WIN_X x WIN_Y dynamic
+    slice of the transposed source shared by the whole 1024-pixel block
+    (bases precomputed outside, tile-aligned) — ~5x fewer MXU MACs and ~3x
+    less VPU epilogue than full-height.  Blocks whose samples span more than
+    the window fall back to the exact full-image path via pl.when; identical
+    output either way.
 
-    def lane_slices(src, n_x, n_y, y_off, x_off):
-        rows = jax.lax.broadcasted_iota(jnp.int32, (n_y, LANES), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (n_x, LANES), 0)
+    All 1024 pixels of the block are processed as ONE wide op set: the
+    selector build / dots / lerp epilogue run on [n_y, 1024] / [n_x, 1024]
+    tiles (2 wide MXU dots per block) instead of 8 x 128-lane slices (16
+    narrow dots + 8 serialized epilogues — the round-3 structure, measured
+    ~1.9x slower at the bench shape)."""
+
+    def block(src, n_x, n_y, y_off, x_off):
+        p = SUBLANES * LANES
+        x = x_ref[0].reshape(1, p)
+        y = y_ref[0].reshape(1, p)
+        valid = (x >= 0) & (x < w - 1) & (y >= 0) & (y < h - 1)
+        x = jnp.clip(x, 0.0, w - 2)
+        y = jnp.clip(y, 0.0, h - 2)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx = x - x0
+        wy = y - y0
+        x0i = x0.astype(jnp.int32) - x_off
+        y0i = y0.astype(jnp.int32) - y_off
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n_y, p), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n_x, p), 0)
         dn = (((1,), (0,)), ((), ()))
-        out = []
-        for i in range(SUBLANES):
-            x = x_ref[0, i, :].reshape(1, LANES)
-            y = y_ref[0, i, :].reshape(1, LANES)
-            valid = (x >= 0) & (x < w - 1) & (y >= 0) & (y < h - 1)
-            x = jnp.clip(x, 0.0, w - 2)
-            y = jnp.clip(y, 0.0, h - 2)
-            x0 = jnp.floor(x)
-            y0 = jnp.floor(y)
-            wx = x - x0
-            wy = y - y0
-            x0i = x0.astype(jnp.int32) - x_off
-            y0i = y0.astype(jnp.int32) - y_off
+        oh_y0 = (rows == y0i).astype(sel_dtype)  # exact 0/1
+        oh_y1 = (rows == y0i + 1).astype(sel_dtype)
+        r0 = jax.lax.dot_general(
+            src, oh_y0, dn, preferred_element_type=acc_dtype
+        )  # [n_x, p]
+        r1 = jax.lax.dot_general(
+            src, oh_y1, dn, preferred_element_type=acc_dtype
+        )
+        # y-lerp + combined column pick / x-lerp in f32.  The int8 rebias is
+        # restored on the reduced scalar: the column weights sum to exactly
+        # 1, so the bias contributes exactly +bias.
+        r = r0.astype(jnp.float32) * (1.0 - wy) + r1.astype(jnp.float32) * wy
+        wxm = (cols == x0i) * (1.0 - wx) + (cols == x0i + 1) * wx
+        res = jnp.sum(r * wxm, axis=0, keepdims=True) + bias
+        return jnp.where(valid, res, 0.0).reshape(1, SUBLANES, LANES)
 
-            oh_y0 = (rows == y0i).astype(sel_dtype)  # exact 0/1
-            oh_y1 = (rows == y0i + 1).astype(sel_dtype)
-            r0 = jax.lax.dot_general(
-                src, oh_y0, dn, preferred_element_type=acc_dtype
-            )  # [n_x, 128]
-            r1 = jax.lax.dot_general(
-                src, oh_y1, dn, preferred_element_type=acc_dtype
-            )
-            # y-lerp + combined column pick / x-lerp in f32.  The int8
-            # rebias is restored on the reduced scalar: the column weights
-            # sum to exactly 1, so the bias contributes exactly +bias.
-            r = r0.astype(jnp.float32) * (1.0 - wy) + r1.astype(
-                jnp.float32
-            ) * wy
-            wxm = (cols == x0i) * (1.0 - wx) + (cols == x0i + 1) * wx
-            res = jnp.sum(r * wxm, axis=0, keepdims=True) + bias
-            out.append(jnp.where(valid, res, 0.0))
-        return jnp.concatenate(out, axis=0)[None]
+    lane_slices = block
 
     # bases are constructed tile-aligned; tell Mosaic so the dynamic slice
     # lowers to aligned vector loads
