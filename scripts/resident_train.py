@@ -108,11 +108,38 @@ def phase_gen(args):
     save_entries(f"eval_{args.n_eval}_{args.t}", entries_e)
 
 
-def _corpora(args):
-    from umetrack_tpu.parallel.resident import build_resident_corpus
+def load_corpus(tag):
+    """npz -> ResidentCorpus without the per-entry Python round trip."""
+    import jax
+    import numpy as np
 
-    train = build_resident_corpus(load_entries(f"train_{args.n_train}_{args.t}"))
-    evalc = build_resident_corpus(load_entries(f"eval_{args.n_eval}_{args.t}"))
+    from umetrack_tpu.kinematics.hand import from_dict
+    from umetrack_tpu.parallel.resident import corpus_from_arrays
+    from umetrack_tpu.utils.synthetic import load_generic_hand_dict
+
+    z = np.load(entry_path(tag), allow_pickle=False)
+    template = from_dict(load_generic_hand_dict())
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    hand_b = jax.tree_util.tree_unflatten(
+        treedef, [z[f"hand_leaf_{j}"] for j in range(len(leaves))]
+    )
+    return corpus_from_arrays(
+        images=z["images"].astype(np.float32),
+        intrinsics=z["intrinsics"],
+        T_world_from_eye=z["T_world_from_eye"],
+        view_valid=z["view_valid"],
+        hand_valid=z["hand_valid"],
+        n_views=z["n_views"],
+        angles=z["angles"],
+        wrists_mm=z["wrists_mm"],
+        hand_model_mm_batched=hand_b,
+        scales=z["scale"],
+    )
+
+
+def _corpora(args):
+    train = load_corpus(f"train_{args.n_train}_{args.t}")
+    evalc = load_corpus(f"eval_{args.n_eval}_{args.t}")
     return train, evalc
 
 
@@ -192,6 +219,26 @@ def _run(args, restrict_seqs=None, tag="train"):
             args.ckpt, {"params": ts.params, "batch_stats": ts.batch_stats}
         )
         logger.info("checkpoint -> %s", path)
+
+    # inline error decomposition (amortizes the corpus-transfer tax)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from umetrack_tpu.parallel.resident import resident_diagnose
+
+    variables_f = {"params": ts.params, "batch_stats": ts.batch_stats}
+    for split, c in (("train", corpus), ("eval", evalc)):
+        idx = jnp.asarray(
+            np.arange(min(16, c.n_sequences)) % c.n_sequences, jnp.int32
+        )
+        if restrict_seqs and split == "train":
+            idx = jnp.asarray(np.arange(16) % restrict_seqs, jnp.int32)
+        d = resident_diagnose(
+            model, variables_f, c, idx, jnp.asarray(0, jnp.int32),
+            min(args.window, c.n_frames),
+        )
+        logger.info("diagnose[%s]: %s", split,
+                    {k: round(float(v), 2) for k, v in d.items()})
     return history
 
 
