@@ -175,6 +175,7 @@ def _run(args, restrict_seqs=None, tag="train"):
         wrist_points=args.w_points,
         landmark_nll=args.w_nll,
         scale=args.w_scale,
+        wrist_rot_gain=args.rot_gain,
     )
 
     history_path = os.path.join(REPO, "checkpoints", f"history_{tag}.json")
@@ -317,6 +318,9 @@ def main():
     p.add_argument("--w-points", type=float, default=20.0)
     p.add_argument("--w-nll", type=float, default=0.1)
     p.add_argument("--w-scale", type=float, default=0.1)
+    p.add_argument("--rot-gain", type=float, default=1.0,
+                   help="extra gain on the rotation-carrying (centered) "
+                   "wrist-point error component")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--eval-every", type=int, default=500)

@@ -85,6 +85,13 @@ class LossWeights:
     wrist_points: float = 1.0
     landmark_nll: float = 0.1
     scale: float = 0.1
+    # Extra gain on the CENTERED component of the wrist-point error.  The
+    # point MSE decomposes exactly (cross term vanishes) into centroid error
+    # (translation) + centered error (what Procrustes turns into rotation);
+    # at 1.0 this is the plain MSE.  Round-4 diagnosis: wrist rotation
+    # (8.8 deg) dominated the overfit MPJPE while angles were at 1.7 mm —
+    # the rotation-carrying component needs more gradient share.
+    wrist_rot_gain: float = 1.0
 
 
 def create_train_state(
@@ -106,6 +113,7 @@ def _frame_losses(
     gt_wrist_world: jnp.ndarray,
     hand: HandModel,
     valid: Optional[jnp.ndarray] = None,  # [B] bool row mask
+    rot_gain: float | jnp.ndarray = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-frame supervised terms shared by the single-frame and TBPTT
     losses: (angle MSE, wrist rigid-point MSE in cam0, landmark NLL,
@@ -145,9 +153,16 @@ def _frame_losses(
     gt_wrist_cam0 = e0 @ gt_eff
     rigid = jnp.asarray(gen_rigid_points(model.config.n_wrist_rigid_pts))
     gt_points = jax.vmap(lambda m: affine.transform3(m, rigid))(gt_wrist_cam0)
-    point_loss = jnp.sum(
-        w_row * jnp.mean((out.wrist_points - gt_points) ** 2, axis=(-2, -1))
+    # centroid/centered split (exact decomposition of the MSE; see
+    # LossWeights.wrist_rot_gain)
+    pred_c = jnp.mean(out.wrist_points, axis=-2, keepdims=True)
+    gt_c = jnp.mean(gt_points, axis=-2, keepdims=True)
+    trans_mse = jnp.mean((pred_c - gt_c) ** 2, axis=(-2, -1))
+    rot_mse = jnp.mean(
+        ((out.wrist_points - pred_c) - (gt_points - gt_c)) ** 2,
+        axis=(-2, -1),
     )
+    point_loss = jnp.sum(w_row * (trans_mse + rot_gain * rot_mse))
 
     # 3) landmark NLL with predicted angles + GT wrist (no SVD in the path)
     pred_lm = skin_landmarks(hand, out.joint_angles, gt_wrist_world)
@@ -189,6 +204,7 @@ def loss_fn(
     angle_loss, point_loss, nll, count = _frame_losses(
         model, out, batch.frame, batch.gt_joint_angles,
         batch.gt_wrist_world, batch.hand, batch.valid,
+        rot_gain=weights.wrist_rot_gain,
     )
     denom = jnp.maximum(count, 1.0)
     angle_loss, point_loss, nll = (
@@ -269,7 +285,8 @@ def temporal_loss_fn(
             mutable=["batch_stats"],
         )
         losses = _frame_losses(
-            model, out, frame, gt_angles, gt_wrist, batch.hand, valid
+            model, out, frame, gt_angles, gt_wrist, batch.hand, valid,
+            rot_gain=weights.wrist_rot_gain,
         )
         return (new_state, mutated["batch_stats"]), jnp.stack(losses)
 
