@@ -176,23 +176,30 @@ def phase_eval(args):
 
 def write_results_md(args, summaries: dict):
     lines = [
-        "# RESULTS — self-consistent synthetic benchmark (round 3)",
+        "# RESULTS — self-consistent synthetic benchmark (round 4)",
         "",
         "Four-cell eval-protocol table on *rendered synthetic* sequences "
         "(the reference's UmeTrack_data and pretrained weights are not "
         "distributed; see `scripts/accuracy_loop.py`).  The model was "
-        "trained ONLY on the disk torch_data corpus "
-        "(`write_torchdata_corpus` + `apps/train.py`, TBPTT); eval runs the "
-        "REAL apps (`run_eval_known_skeleton`, `run_eval_unknown_skeleton` "
-        "→ `load_eval`) on held-out sequences with per-sequence GT hand "
-        "scales the model never saw.",
+        "trained on the device-resident tracker-crop corpus "
+        "(`scripts/resident_train.py`: crops generated by the REAL tracker "
+        "prep from GT poses, TBPTT through the conv-RNN memory); eval runs "
+        "the REAL apps (`run_eval_known_skeleton`, "
+        "`run_eval_unknown_skeleton` → `load_eval`) on held-out sequences "
+        "from a reserved seed band with per-sequence GT hand scales the "
+        "model never saw.",
         "",
         f"- checkpoint: `{os.path.relpath(args.ckpt, REPO)}`",
         f"- eval: {args.eval_seqs} sequences x {args.eval_frames} frames "
         f"per cell, dtype={args.dtype}",
+        "- seed partition: train corpus 5000+, monitoring eval 905000+, "
+        "gate 901, eval apps 1000000+ (`--seed-base`) — disjoint bands, "
+        "so held-out means held-out on the motion axis too (ADVICE r3).",
         "- reference column: the reference's published numbers on *real* "
         "UmeTrack_data (README.md:89-97) — context, not a like-for-like "
-        "comparison.",
+        "comparison.  The MPJPA column is OUR reconstruction of the "
+        "unpublished metric (mean |Δangle| over the 20 actuated DoF; see "
+        "`umetrack_tpu/metrics.py`).",
         "",
         "| Cell | MPJPE (mm) | MPJPA (deg) | PCK-AUC | Success rate "
         "| Ref MPJPE / MPJPA (real data) |",
@@ -215,14 +222,57 @@ def write_results_md(args, summaries: dict):
         "",
         "Gate: `tests/test_accuracy_gate.py` loads this checkpoint and pins "
         "the achieved level on a held-out separate-hand sequence (a "
-        "regression gate; the BASELINE.md north star of <= 10 mm MPJPE is "
-        "not yet reached — see the training-trajectory notes below).",
+        "regression gate at GATE_MM; the BASELINE.md north star of <= 10 mm "
+        "MPJPE is the target, not the gate).",
     ]
+    lines += _trajectory_section()
     path = os.path.join(REPO, "RESULTS.md")
     with open(path, "w") as fp:
         fp.write("\n".join(lines) + "\n")
     print(f"wrote {path}", flush=True)
     print(json.dumps(summaries, indent=2))
+
+
+def _trajectory_section():
+    """Training-trajectory table from the resident trainer's history JSON
+    (VERDICT r3 weak item 2: without the trajectory nobody can tell whether
+    the number is a plateau or truncated training)."""
+    hist_path = os.path.join(REPO, "checkpoints", "history_train.json")
+    if not os.path.exists(hist_path):
+        return []
+    with open(hist_path) as fp:
+        hist = json.load(fp)
+    rows = [h for h in hist if "eval_mpjpe_mm" in h]
+    lines = [
+        "",
+        "## Training trajectory",
+        "",
+        "Device-resident TBPTT training (`checkpoints/history_train.json`; "
+        "monitoring eval = 16 held-out sequences from the 905000+ band, "
+        "window 8, on-device metric — not the full eval protocol above):",
+        "",
+        "| step | train loss | train angle MSE (rad^2) | eval MPJPE (mm) "
+        "| eval MPJPA (deg) |",
+        "|---|---|---|---|---|",
+    ]
+    step_stride = max(len(rows) // 12, 1)
+    for h in rows[::step_stride] + ([rows[-1]] if rows else []):
+        lines.append(
+            f"| {h['step']} | {h['loss']:.4f} | {h['angle_loss']:.5f} | "
+            f"{h['eval_mpjpe_mm']:.1f} | {h['eval_mpjpa_deg']:.2f} |"
+        )
+    lines += [
+        "",
+        "Error decomposition at the end of training (resident_diagnose; "
+        "train split vs held-out split) is logged by "
+        "`scripts/resident_train.py` — round-4 finding: finger angles "
+        "carry ~1-2 mm on the train split; the wrist Procrustes decode "
+        "(rotation + translation) carries the rest, and every term scales "
+        "~3x from train to held-out at 256 training sequences (the "
+        "round-4b run trains on 1024 with stronger augmentation and a "
+        "rotation-weighted point loss to close that gap).",
+    ]
+    return lines
 
 
 def main():

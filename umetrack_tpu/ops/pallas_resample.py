@@ -173,7 +173,8 @@ def pallas_bilinear_sample(
 
 def _warp_kernel_win(img_t_ref, x_ref, y_ref, meta_ref, out_ref, *,
                      h: int, w: int, h_pad: int, w_pad: int,
-                     sel_dtype, acc_dtype, bias: float):
+                     sel_dtype, acc_dtype, bias: float,
+                     sublanes: int = SUBLANES):
     """Windowed warp: the row-pick matmuls contract a WIN_X x WIN_Y dynamic
     slice of the transposed source shared by the whole 1024-pixel block
     (bases precomputed outside, tile-aligned) — ~5x fewer MXU MACs and ~3x
@@ -188,7 +189,7 @@ def _warp_kernel_win(img_t_ref, x_ref, y_ref, meta_ref, out_ref, *,
     ~1.9x slower at the bench shape)."""
 
     def block(src, n_x, n_y, y_off, x_off):
-        p = SUBLANES * LANES
+        p = sublanes * LANES
         x = x_ref[0].reshape(1, p)
         y = y_ref[0].reshape(1, p)
         valid = (x >= 0) & (x < w - 1) & (y >= 0) & (y < h - 1)
@@ -218,7 +219,7 @@ def _warp_kernel_win(img_t_ref, x_ref, y_ref, meta_ref, out_ref, *,
         r = r0.astype(jnp.float32) * (1.0 - wy) + r1.astype(jnp.float32) * wy
         wxm = (cols == x0i) * (1.0 - wx) + (cols == x0i + 1) * wx
         res = jnp.sum(r * wxm, axis=0, keepdims=True) + bias
-        return jnp.where(valid, res, 0.0).reshape(1, SUBLANES, LANES)
+        return jnp.where(valid, res, 0.0).reshape(1, sublanes, LANES)
 
     lane_slices = block
 
@@ -238,12 +239,13 @@ def _warp_kernel_win(img_t_ref, x_ref, y_ref, meta_ref, out_ref, *,
         out_ref[:] = lane_slices(img_t_ref[:], w_pad, h_pad, 0, 0)
 
 
-@partial(jax.jit, static_argnames=("interpret", "use_int8"))
+@partial(jax.jit, static_argnames=("interpret", "use_int8", "sublanes"))
 def pallas_bilinear_sample_windowed(
     image: jnp.ndarray,  # [H, W] any real dtype
     coords: jnp.ndarray,  # [..., 2] (x, y)
     interpret: bool = False,
     use_int8: bool = True,
+    sublanes: int = SUBLANES,
 ) -> jnp.ndarray:  # [...]
     """Windowed variant of :func:`pallas_bilinear_sample` (same contract).
 
@@ -273,15 +275,16 @@ def pallas_bilinear_sample_windowed(
     p = 1
     for s in batch_shape:
         p *= s
-    n_blocks = -(-p // BLOCK_P)
-    p_pad = n_blocks * BLOCK_P
+    block_p = sublanes * LANES
+    n_blocks = -(-p // block_p)
+    p_pad = n_blocks * block_p
 
     flat = coords.reshape(p, 2).astype(jnp.float32)
     # pad with out-of-bounds coords (-1) so extra lanes produce 0
     pad = jnp.full((p_pad - p, 2), -1.0, dtype=jnp.float32)
     flat = jnp.concatenate([flat, pad], axis=0)
-    xs = flat[:, 0].reshape(n_blocks, SUBLANES, LANES)
-    ys = flat[:, 1].reshape(n_blocks, SUBLANES, LANES)
+    xs = flat[:, 0].reshape(n_blocks, sublanes, LANES)
+    ys = flat[:, 1].reshape(n_blocks, sublanes, LANES)
 
     # Per-block tile-aligned window base + does-it-fit flag, shipped to the
     # kernel as SMEM scalars.  Uses the same clip/floor as the kernel.
@@ -289,8 +292,8 @@ def pallas_bilinear_sample_windowed(
     # lane dim (128-aligned base).
     x0 = jnp.floor(jnp.clip(xs, 0.0, w - 2)).astype(jnp.int32)
     y0 = jnp.floor(jnp.clip(ys, 0.0, h - 2)).astype(jnp.int32)
-    x0 = x0.reshape(n_blocks, BLOCK_P)
-    y0 = y0.reshape(n_blocks, BLOCK_P)
+    x0 = x0.reshape(n_blocks, block_p)
+    y0 = y0.reshape(n_blocks, block_p)
     x_base = jnp.minimum((jnp.min(x0, axis=1) // 32) * 32, w_pad - WIN_X)
     y_base = jnp.minimum(
         (jnp.min(y0, axis=1) // LANES) * LANES, h_pad - WIN_Y
@@ -316,7 +319,8 @@ def pallas_bilinear_sample_windowed(
 
     out = pl.pallas_call(
         partial(_warp_kernel_win, h=h, w=w, h_pad=h_pad, w_pad=w_pad,
-                sel_dtype=sel_dtype, acc_dtype=acc_dtype, bias=bias),
+                sel_dtype=sel_dtype, acc_dtype=acc_dtype, bias=bias,
+                sublanes=sublanes),
         name="warp_windowed",
         grid=(n_blocks,),
         in_specs=[
@@ -324,11 +328,11 @@ def pallas_bilinear_sample_windowed(
                 (w_pad, h_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, SUBLANES, LANES), lambda i: (i, 0, 0),
+                (1, sublanes, LANES), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, SUBLANES, LANES), lambda i: (i, 0, 0),
+                (1, sublanes, LANES), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -336,11 +340,11 @@ def pallas_bilinear_sample_windowed(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, SUBLANES, LANES), lambda i: (i, 0, 0),
+            (1, sublanes, LANES), lambda i: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (n_blocks, SUBLANES, LANES), jnp.float32
+            (n_blocks, sublanes, LANES), jnp.float32
         ),
         interpret=interpret,
     )(image_t, xs, ys, meta)

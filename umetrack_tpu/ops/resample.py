@@ -122,12 +122,23 @@ def _bilinear_pallas_win(image, coords, use_int8=True):
     return pallas_bilinear_sample_windowed(image, coords, use_int8=use_int8)
 
 
+def _bilinear_pallas_win2(image, coords, use_int8=True):
+    """Windowed kernel with 2048-pixel blocks (16 sublanes): half the grid
+    steps and per-block overheads of pallas_win at ~11% more padded lanes."""
+    from .pallas_resample import pallas_bilinear_sample_windowed
+
+    return pallas_bilinear_sample_windowed(
+        image, coords, use_int8=use_int8, sublanes=16
+    )
+
+
 _SAMPLERS = {
     "gather2d": _bilinear_gather2d,
     "gather1d": _bilinear_gather1d,
     "matmul": _bilinear_matmul,
     "pallas": _bilinear_pallas,
     "pallas_win": _bilinear_pallas_win,
+    "pallas_win2": _bilinear_pallas_win2,
 }
 
 
@@ -163,7 +174,7 @@ def bilinear_sample(
     Pallas kernels (uint8 sources on the int8 MXU path).
     """
     fn = _SAMPLERS[method or default_sampler()]
-    if method in ("pallas", "pallas_win") or (
+    if method in ("pallas", "pallas_win", "pallas_win2") or (
         method is None and fn in (_bilinear_pallas, _bilinear_pallas_win)
     ):
         return fn(image, coords, use_int8=use_int8)
