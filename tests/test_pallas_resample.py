@@ -38,7 +38,11 @@ def test_nonmultiple_of_128_pixels():
     assert out.shape == (37,)
 
 
-def test_windowed_matches_gather_sampler():
+import pytest
+
+
+@pytest.mark.parametrize("sublanes", [8, 16])
+def test_windowed_matches_gather_sampler(sublanes):
     rng = np.random.default_rng(2)
     img = rng.integers(0, 255, size=(480, 640)).astype(np.float32)
     # include out-of-bounds + window-edge-straddling samples
@@ -51,7 +55,8 @@ def test_windowed_matches_gather_sampler():
     )
     out = np.asarray(
         pallas_bilinear_sample_windowed(
-            jnp.asarray(img), jnp.asarray(coords), interpret=True
+            jnp.asarray(img), jnp.asarray(coords), interpret=True,
+            sublanes=sublanes,
         )
     )
     np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-5)
