@@ -218,15 +218,39 @@ def mirrored_gt_landmarks(hand_dict, angles, wrists, is_right) -> np.ndarray:
         return np.asarray(jax.device_get(lm))
 
 
+# Approximate anatomical stroke widths (mm) per bone, indexed like _BONES:
+# thumb chain, then 4 fingers x 4 segments, then wrist->palm.
+_BONE_WIDTH_MM = (
+    22.0, 18.0, 15.0,
+    17.0, 15.0, 13.0, 11.0,
+    18.0, 16.0, 14.0, 12.0,
+    17.0, 15.0, 13.0, 11.0,
+    14.0, 12.0, 11.0, 10.0,
+    30.0,
+)
+
+
 def draw_hands_on_image(
     img: np.ndarray,  # [H, W] uint8, modified in place
     pix: np.ndarray,  # [n_hands, 21, 2] pixel coords
     in_front: np.ndarray,  # [n_hands, 21] bool (z > 0 in eye space)
     thickness: int = 3,
+    z_mm: np.ndarray | None = None,  # [n_hands, 21] eye-space depth (mm)
+    px_per_mm: float | None = None,  # focal/z scale base (fx / 1 mm)
 ) -> None:
-    """Draw bone segments + joint disks.  Hands are drawn in index order, so
-    hand 1 occludes hand 0 where they overlap (a fixed, consistent z-order —
-    enough to create genuine mutual occlusion for the hand_hand protocol)."""
+    """Draw hands as filled low-frequency shapes: a palm polygon plus
+    thick, depth-scaled finger strokes with depth shading.
+
+    With ``z_mm``/``px_per_mm`` given, stroke width is the anatomical width
+    projected to pixels (w_mm * fx / z) and brightness falls off with depth
+    — volumetric-looking hands that survive the backbone's /16 feature
+    downsampling, unlike the original 3-px stick figure (round-4 finding:
+    held-out MPJPA floored ~15 deg on stick renders while train reached
+    ~2 deg).  Without depth info it falls back to constant ``thickness``.
+
+    Hands are drawn in index order, so hand 1 occludes hand 0 where they
+    overlap (a fixed, consistent z-order — genuine mutual occlusion for the
+    hand_hand protocol)."""
     import cv2
 
     h, w = img.shape
@@ -237,23 +261,52 @@ def draw_hands_on_image(
             & np.isfinite(p).all(axis=-1)
             & (np.abs(p) < 4 * max(h, w)).all(axis=-1)
         )
+
+        def width_of(b, i, j):
+            if z_mm is None or px_per_mm is None:
+                return thickness
+            z = max(float(z_mm[hand, i] + z_mm[hand, j]) / 2, 50.0)
+            return int(np.clip(round(_BONE_WIDTH_MM[b] * px_per_mm / z), 2, 25))
+
+        def shade(base, i, j):
+            if z_mm is None:
+                return int(base)
+            # nearer = brighter: +-18% over the +-60 mm workspace depth range
+            z = float(z_mm[hand, i] + z_mm[hand, j]) / 2
+            return int(np.clip(base * (1.0 + (450.0 - z) / 330.0), 30, 255))
+
+        # palm: filled polygon over wrist + finger bases + palm center
+        palm_ids = [5, 8, 11, 14, 17, 20]
+        if all(ok[i] for i in palm_ids):
+            pts = np.asarray(
+                [[int(round(p[i, 0])), int(round(p[i, 1]))] for i in palm_ids],
+                np.int32,
+            )
+            hull = cv2.convexHull(pts)
+            cv2.fillConvexPoly(img, hull, shade(120, 5, 20), lineType=cv2.LINE_AA)
+
         for b, (i, j) in enumerate(_BONES):
             if ok[i] and ok[j]:
                 cv2.line(
                     img,
                     (int(round(p[i, 0])), int(round(p[i, 1]))),
                     (int(round(p[j, 0])), int(round(p[j, 1]))),
-                    int(_BONE_GRAY[b]),
-                    thickness=thickness,
+                    shade(_BONE_GRAY[b], i, j),
+                    thickness=width_of(b, i, j),
                     lineType=cv2.LINE_AA,
                 )
         for l in range(21):
             if ok[l]:
+                r = (
+                    max(width_of(0, l, l) // 2 + 1, 2)
+                    if z_mm is not None and px_per_mm is not None
+                    else (thickness if l < 5 else max(thickness - 1, 1))
+                )
                 cv2.circle(
                     img,
                     (int(round(p[l, 0])), int(round(p[l, 1]))),
-                    thickness if l < 5 else max(thickness - 1, 1),
-                    255 if l < 5 else int(90 + 7 * l),
+                    r,
+                    255 if l < 5 else shade(90 + 7 * l, l, l),
                     thickness=-1,
                     lineType=cv2.LINE_AA,
                 )
@@ -279,7 +332,10 @@ def render_fisheye_sequence(
             tr = world_to_cam[c, :3, 3]
             v_eye = landmarks_world[ti] @ r.T + tr  # [2, 21, 3]
             pix = _project_fisheye_np(v_eye, cam_jss[c])
-            draw_hands_on_image(images[ti, c], pix, v_eye[..., 2] > 1.0)
+            draw_hands_on_image(
+                images[ti, c], pix, v_eye[..., 2] > 1.0,
+                z_mm=v_eye[..., 2], px_per_mm=float(cam_jss[c]["fx"]),
+            )
     return images
 
 
@@ -543,6 +599,7 @@ def make_torchdata_sample(
                 draw_hands_on_image(
                     mono[ti, c], pix[None], (v_eye[..., 2] > 1.0)[None],
                     thickness=thickness,
+                    z_mm=v_eye[None, ..., 2], px_per_mm=focal,
                 )
     else:
         import cv2
