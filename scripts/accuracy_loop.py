@@ -264,13 +264,9 @@ def _trajectory_section():
     lines += [
         "",
         "Error decomposition at the end of training (resident_diagnose; "
-        "train split vs held-out split) is logged by "
-        "`scripts/resident_train.py` — round-4 finding: finger angles "
-        "carry ~1-2 mm on the train split; the wrist Procrustes decode "
-        "(rotation + translation) carries the rest, and every term scales "
-        "~3x from train to held-out at 256 training sequences (the "
-        "round-4b run trains on 1024 with stronger augmentation and a "
-        "rotation-weighted point loss to close that gap).",
+        "train vs held-out split) is logged by `scripts/resident_train.py` "
+        "and summarized in the committed RESULTS.md alongside the per-term "
+        "findings of the round.",
     ]
     return lines
 

@@ -1,13 +1,12 @@
 """Accuracy regression gate: the committed trained checkpoint must track a
-held-out rendered synthetic sequence at least as well as the round-3 run
-that produced it (<= 75 mm MPJPE, known-skeleton separate-hand protocol —
-the measured round-3 result is ~68 mm on this sequence).
+held-out rendered synthetic sequence at least as well as the run that
+produced it (GATE_MM, known-skeleton separate-hand protocol — the round-4
+device-resident run measures ~26.7 mm on this sequence).
 
-The BASELINE.md north star is <= 10.0 mm; round 3 closed the *loop*
-(rendered corpus -> TBPTT training -> tracker-domain fine-tune -> the real
-eval apps -> RESULTS.md) but not the full gap — ~7k training steps against
-a from-scratch model (see RESULTS.md for the trajectory and the next-round
-plan).  This gate pins the achieved level so checkpoint regressions fail
+The BASELINE.md north star is <= 10.0 mm; round 4 took the four-cell
+protocol from ~62 to ~38 mm (RESULTS.md has the trajectory and the error
+decomposition — the remaining gap is angle generalization).  This gate
+pins the achieved level so checkpoint regressions fail
 loudly; tighten it as training improves.
 
 The checkpoint is produced by ``scripts/accuracy_loop.py``.  The gate
@@ -24,7 +23,10 @@ CKPT = os.path.join(
     "checkpoints", "synthetic.msgpack",
 )
 
-GATE_MM = 75.0  # round-3 achieved ~68 mm; north star 10.0 (BASELINE.md)
+# Ratcheted every time training improves (VERDICT r3): round-3 ~68 mm at a
+# 75 mm gate; round-4 checkpoint measures 26.7 mm on this sequence -> gate
+# 32 (1.2x). North star 10.0 (BASELINE.md).
+GATE_MM = 32.0
 # Seed allocation (single source of truth, ADVICE r3): corpus training
 # draws seeds [0, n_train), corpus testing 50_000+, tracker-domain
 # fine-tune 5_000+, this gate 901 (inside no band above — n_train <= 512
