@@ -153,7 +153,7 @@ def bench_ours(t_frames=16, n_seqs=64, pipeline_depth=4,
     )
     print(
         f"[bench] dtype={compute_dtype} sampler="
-        f"{cfg.sampler or 'auto(pallas_win)'} S={n_seqs} T={t_frames}: "
+        f"{cfg.sampler or 'auto(pallas_win_cm)'} S={n_seqs} T={t_frames}: "
         f"{prep_txt}fused {dt_frame*1e3:.1f} ms, "
         f"{fps:.0f} frames/s, {tflops:.1f} TFLOP/s on {flop_src} "
         f"{flops_per_frame/1e9:.2f} GFLOP/frame "

@@ -48,7 +48,7 @@ def sampler_ab(args):
     n_warps = s * t_frames * 4
 
     ref = None
-    for name in ["gather1d", "gather2d", "matmul", "pallas", "pallas_win", "pallas_win2"]:
+    for name in ["gather1d", "gather2d", "matmul", "pallas", "pallas_win", "pallas_win2", "pallas_win_cm"]:
         scfg = TrackerConfig(sampler=name)
 
         @jax.jit

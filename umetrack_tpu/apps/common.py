@@ -12,7 +12,7 @@ import argparse
 import os
 from typing import Tuple
 
-SAMPLERS = ["gather2d", "gather1d", "matmul", "pallas", "pallas_win", "pallas_win2"]
+SAMPLERS = ["gather2d", "gather1d", "matmul", "pallas", "pallas_win", "pallas_win2", "pallas_win_cm"]
 
 
 def add_runtime_flags(parser: argparse.ArgumentParser) -> None:

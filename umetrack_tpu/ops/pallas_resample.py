@@ -174,7 +174,8 @@ def pallas_bilinear_sample(
 def _warp_kernel_win(img_t_ref, x_ref, y_ref, meta_ref, out_ref, *,
                      h: int, w: int, h_pad: int, w_pad: int,
                      sel_dtype, acc_dtype, bias: float,
-                     sublanes: int = SUBLANES):
+                     sublanes: int = SUBLANES,
+                     win_x: int = WIN_X, win_y: int = WIN_Y):
     """Windowed warp: the row-pick matmuls contract a WIN_X x WIN_Y dynamic
     slice of the transposed source shared by the whole 1024-pixel block
     (bases precomputed outside, tile-aligned) — ~5x fewer MXU MACs and ~3x
@@ -231,21 +232,24 @@ def _warp_kernel_win(img_t_ref, x_ref, y_ref, meta_ref, out_ref, *,
 
     @pl.when(fits != 0)
     def _():
-        win = img_t_ref[pl.ds(x_base, WIN_X), pl.ds(y_base, WIN_Y)]
-        out_ref[:] = lane_slices(win, WIN_X, WIN_Y, y_base, x_base)
+        win = img_t_ref[pl.ds(x_base, win_x), pl.ds(y_base, win_y)]
+        out_ref[:] = lane_slices(win, win_x, win_y, y_base, x_base)
 
     @pl.when(fits == 0)
     def _():
         out_ref[:] = lane_slices(img_t_ref[:], w_pad, h_pad, 0, 0)
 
 
-@partial(jax.jit, static_argnames=("interpret", "use_int8", "sublanes"))
+@partial(jax.jit, static_argnames=(
+    "interpret", "use_int8", "sublanes", "win_x", "win_y"))
 def pallas_bilinear_sample_windowed(
     image: jnp.ndarray,  # [H, W] any real dtype
     coords: jnp.ndarray,  # [..., 2] (x, y)
     interpret: bool = False,
     use_int8: bool = True,
     sublanes: int = SUBLANES,
+    win_x: int = WIN_X,
+    win_y: int = WIN_Y,
 ) -> jnp.ndarray:  # [...]
     """Windowed variant of :func:`pallas_bilinear_sample` (same contract).
 
@@ -265,7 +269,7 @@ def pallas_bilinear_sample_windowed(
     h, w = image.shape
     h_pad = -(-h // LANES) * LANES  # lane dim of the transposed image
     w_pad = -(-w // 32) * 32  # sublane dim (int8 tile)
-    if h_pad < WIN_Y or w_pad < WIN_X:
+    if h_pad < win_y or w_pad < win_x:
         # window would exceed the (padded) source: nothing to win
         return pallas_bilinear_sample(
             image, coords, interpret=interpret, use_int8=use_int8
@@ -294,12 +298,12 @@ def pallas_bilinear_sample_windowed(
     y0 = jnp.floor(jnp.clip(ys, 0.0, h - 2)).astype(jnp.int32)
     x0 = x0.reshape(n_blocks, block_p)
     y0 = y0.reshape(n_blocks, block_p)
-    x_base = jnp.minimum((jnp.min(x0, axis=1) // 32) * 32, w_pad - WIN_X)
+    x_base = jnp.minimum((jnp.min(x0, axis=1) // 32) * 32, w_pad - win_x)
     y_base = jnp.minimum(
-        (jnp.min(y0, axis=1) // LANES) * LANES, h_pad - WIN_Y
+        (jnp.min(y0, axis=1) // LANES) * LANES, h_pad - win_y
     )
-    fits_x = (jnp.max(x0, axis=1) + 1 - x_base) <= WIN_X - 1
-    fits_y = (jnp.max(y0, axis=1) + 1 - y_base) <= WIN_Y - 1
+    fits_x = (jnp.max(x0, axis=1) + 1 - x_base) <= win_x - 1
+    fits_y = (jnp.max(y0, axis=1) + 1 - y_base) <= win_y - 1
     meta = jnp.stack(
         [x_base, y_base, (fits_y & fits_x).astype(jnp.int32)], axis=-1
     )[:, None, :]  # [n_blocks, 1, 3] int32
@@ -320,7 +324,7 @@ def pallas_bilinear_sample_windowed(
     out = pl.pallas_call(
         partial(_warp_kernel_win, h=h, w=w, h_pad=h_pad, w_pad=w_pad,
                 sel_dtype=sel_dtype, acc_dtype=acc_dtype, bias=bias,
-                sublanes=sublanes),
+                sublanes=sublanes, win_x=win_x, win_y=win_y),
         name="warp_windowed",
         grid=(n_blocks,),
         in_specs=[

@@ -132,6 +132,32 @@ def _bilinear_pallas_win2(image, coords, use_int8=True):
     )
 
 
+def _bilinear_pallas_win_cm(image, coords, use_int8=True):
+    """Column-major windowed warp: traverse dst pixels column-major so a
+    1024-pixel block covers ~10.7 dst COLUMNS.  On warp grids that are
+    roughly scale-preserving, the block's source box is then tall and
+    narrow — the window shrinks from [224, 256] to [64, 256] in the
+    transposed image, cutting both the masked column-pick epilogue (the
+    measured VPU bottleneck of the sampling phase) and the row-pick MACs
+    ~3.5x.  Exact same out-of-bounds contract; blocks that exceed the
+    window take the exact full-image fallback.
+
+    Only worthwhile for [h, w(, 2)]-shaped coordinate GRIDS (the tracker's
+    case); arbitrary coord lists should use pallas_win.
+    """
+    from .pallas_resample import pallas_bilinear_sample_windowed
+
+    if coords.ndim < 3:
+        return pallas_bilinear_sample_windowed(
+            image, coords, use_int8=use_int8
+        )
+    coords_cm = jnp.swapaxes(coords, -3, -2)  # [w, h, 2] column-major
+    out = pallas_bilinear_sample_windowed(
+        image, coords_cm, use_int8=use_int8, win_x=64, win_y=256
+    )
+    return jnp.swapaxes(out, -2, -1)
+
+
 _SAMPLERS = {
     "gather2d": _bilinear_gather2d,
     "gather1d": _bilinear_gather1d,
@@ -139,22 +165,23 @@ _SAMPLERS = {
     "pallas": _bilinear_pallas,
     "pallas_win": _bilinear_pallas_win,
     "pallas_win2": _bilinear_pallas_win2,
+    "pallas_win_cm": _bilinear_pallas_win_cm,
 }
 
 
 def default_sampler() -> str:
-    """On TPU the windowed Pallas MXU kernel wins the A/B
-    (scripts/profile_tracker.py --samplers on v5e: 53.5 us/warp windowed vs
-    66.4 full-height vs 613 XLA gather — 11.5x over the gather); elsewhere
-    (CPU tests, interpret-less platforms) the portable gather is the
-    default.  Selection is config, not env (TrackerConfig.sampler): env vars
-    read at trace time inside jit silently stop working after the first
-    trace."""
+    """On TPU the column-major windowed Pallas MXU kernel wins the A/B
+    (v5e, S=64 tracker prep: 96.0 ms vs 105.7 row-major windowed vs
+    ~620 us/warp XLA gather; scripts/profile_tracker.py --samplers and
+    docs/ROOFLINE.md); elsewhere (CPU tests, interpret-less platforms) the
+    portable gather is the default.  Selection is config, not env
+    (TrackerConfig.sampler): env vars read at trace time inside jit
+    silently stop working after the first trace."""
     try:
         on_tpu = jax.default_backend() in ("tpu", "axon")
     except Exception:
         on_tpu = False
-    return "pallas_win" if on_tpu else "gather1d"
+    return "pallas_win_cm" if on_tpu else "gather1d"
 
 
 def bilinear_sample(
@@ -174,7 +201,7 @@ def bilinear_sample(
     Pallas kernels (uint8 sources on the int8 MXU path).
     """
     fn = _SAMPLERS[method or default_sampler()]
-    if method in ("pallas", "pallas_win", "pallas_win2") or (
+    if method in ("pallas", "pallas_win", "pallas_win2", "pallas_win_cm") or (
         method is None and fn in (_bilinear_pallas, _bilinear_pallas_win)
     ):
         return fn(image, coords, use_int8=use_int8)
