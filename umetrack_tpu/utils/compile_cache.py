@@ -18,8 +18,22 @@ DEFAULT_DIR = os.path.join(
 def enable_compile_cache(path: str | None = None) -> str:
     """Idempotently point JAX's persistent compilation cache at ``path``
     (default: <repo>/.jax_cache).  Safe to call before or after backend
-    init."""
+    init.
+
+    TPU/axon only: on this environment CPU executables can be AOT-compiled
+    on the remote compile service whose host has different CPU features
+    (AMX/prefer-no-gather); loading such a cached CPU executable on the
+    local 2-core host SIGILLs/segfaults (observed killing the test suite
+    mid-run).  CPU compiles are cheap anyway, so the persistent cache is
+    reserved for the backend that needs it."""
     import jax
+
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "unknown"
+    if backend not in ("tpu", "axon"):
+        return ""
 
     path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", DEFAULT_DIR)
     os.makedirs(path, exist_ok=True)
