@@ -256,7 +256,12 @@ def _trajectory_section():
         "|---|---|---|---|---|",
     ]
     step_stride = max(len(rows) // 12, 1)
-    for h in rows[::step_stride] + ([rows[-1]] if rows else []):
+    sampled = rows[::step_stride]
+    # Append the final row only when the stride did not already land on it
+    # (ADVICE r4: the committed table showed the last step twice).
+    if rows and (not sampled or sampled[-1] is not rows[-1]):
+        sampled.append(rows[-1])
+    for h in sampled:
         lines.append(
             f"| {h['step']} | {h['loss']:.4f} | {h['angle_loss']:.5f} | "
             f"{h['eval_mpjpe_mm']:.1f} | {h['eval_mpjpa_deg']:.2f} |"

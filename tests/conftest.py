@@ -19,6 +19,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Parity tests compare against float64 numpy/torch references.
 jax.config.update("jax_enable_x64", True)
+# Defense in depth against the persistent-cache segfault (VERDICT r4 weak 3):
+# remote-compiled CPU executables in .jax_cache can carry host features
+# (AMX / prefer-no-gather) this 2-core host lacks and SIGILL on load
+# (root cause documented at utils/compile_cache.py).  enable_compile_cache
+# already refuses on CPU backends, but tests must ALSO be immune to a cache
+# dir inherited from the environment, so hard-disable the cache here.
+jax.config.update("jax_enable_compilation_cache", False)
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_ROOT = "/root/reference"

@@ -88,6 +88,41 @@ def test_windowed_smooth_coords_hits_window_path():
     np.testing.assert_allclose(out, ref, atol=2e-2, rtol=1e-5)
 
 
+def test_win_cm_matches_gather_sampler():
+    """The production TPU default (pallas_win_cm): its coord-transpose
+    round trip and the win_x=64 window / full-image fallback logic must hold
+    in interpret mode too (ADVICE r4: the cm path was TPU-only-tested).
+    Covers both the windowed branch (smooth crop-like grid) and the
+    full-image fallback (random out-of-window samples)."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, size=(480, 640)).astype(np.float32)
+
+    # crop-like smooth grid: every block fits its 64x256 window
+    gy, gx = np.mgrid[0:96, 0:96].astype(np.float32)
+    ang = 0.25
+    sx = 2.1 * (np.cos(ang) * gx - np.sin(ang) * gy) + 250.2
+    sy = 2.1 * (np.sin(ang) * gx + np.cos(ang) * gy) + 110.6
+    smooth = np.stack([sx, sy], axis=-1)
+
+    # scattered grid incl. out-of-bounds: forces the full-image fallback
+    scattered = rng.uniform(-10, 650, size=(96, 96, 2)).astype(np.float32)
+
+    for coords in (smooth, scattered):
+        ref = np.asarray(
+            resample.bilinear_sample(
+                jnp.asarray(img), jnp.asarray(coords), "gather1d"
+            )
+        )
+        out = np.asarray(
+            resample.bilinear_sample(
+                jnp.asarray(img), jnp.asarray(coords), "pallas_win_cm",
+                interpret=True,
+            )
+        )
+        np.testing.assert_allclose(out, ref, atol=2e-2, rtol=1e-5)
+        assert out.shape == (96, 96)
+
+
 def test_windowed_nonmultiple_shapes():
     rng = np.random.default_rng(3)
     img = rng.integers(0, 255, size=(480, 640)).astype(np.float32)

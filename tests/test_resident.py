@@ -92,6 +92,9 @@ def test_masked_rows_contribute_nothing(corpus):
     poisoned = batch_masked.replace(
         gt_joint_angles=batch.gt_joint_angles.at[1].add(100.0),
         gt_wrist_world=batch.gt_wrist_world.at[1, :, :3, 3].add(5.0),
+        # scale head too: invalid rows must not leak into the (masked)
+        # log-scale MSE either (ADVICE r4)
+        gt_scales=batch.gt_scales.at[1].mul(7.0),
     )
     w = LossWeights()
     loss_a = temporal_loss_fn(

@@ -110,29 +110,33 @@ def _bilinear_matmul(image, coords):
     return jnp.where(valid, out, 0.0)
 
 
-def _bilinear_pallas(image, coords, use_int8=True):
+def _bilinear_pallas(image, coords, use_int8=True, interpret=False):
     from .pallas_resample import pallas_bilinear_sample
 
-    return pallas_bilinear_sample(image, coords, use_int8=use_int8)
+    return pallas_bilinear_sample(
+        image, coords, use_int8=use_int8, interpret=interpret
+    )
 
 
-def _bilinear_pallas_win(image, coords, use_int8=True):
+def _bilinear_pallas_win(image, coords, use_int8=True, interpret=False):
     from .pallas_resample import pallas_bilinear_sample_windowed
 
-    return pallas_bilinear_sample_windowed(image, coords, use_int8=use_int8)
+    return pallas_bilinear_sample_windowed(
+        image, coords, use_int8=use_int8, interpret=interpret
+    )
 
 
-def _bilinear_pallas_win2(image, coords, use_int8=True):
+def _bilinear_pallas_win2(image, coords, use_int8=True, interpret=False):
     """Windowed kernel with 2048-pixel blocks (16 sublanes): half the grid
     steps and per-block overheads of pallas_win at ~11% more padded lanes."""
     from .pallas_resample import pallas_bilinear_sample_windowed
 
     return pallas_bilinear_sample_windowed(
-        image, coords, use_int8=use_int8, sublanes=16
+        image, coords, use_int8=use_int8, sublanes=16, interpret=interpret
     )
 
 
-def _bilinear_pallas_win_cm(image, coords, use_int8=True):
+def _bilinear_pallas_win_cm(image, coords, use_int8=True, interpret=False):
     """Column-major windowed warp: traverse dst pixels column-major so a
     1024-pixel block covers ~10.7 dst COLUMNS.  On warp grids that are
     roughly scale-preserving, the block's source box is then tall and
@@ -149,11 +153,12 @@ def _bilinear_pallas_win_cm(image, coords, use_int8=True):
 
     if coords.ndim < 3:
         return pallas_bilinear_sample_windowed(
-            image, coords, use_int8=use_int8
+            image, coords, use_int8=use_int8, interpret=interpret
         )
     coords_cm = jnp.swapaxes(coords, -3, -2)  # [w, h, 2] column-major
     out = pallas_bilinear_sample_windowed(
-        image, coords_cm, use_int8=use_int8, win_x=64, win_y=256
+        image, coords_cm, use_int8=use_int8, win_x=64, win_y=256,
+        interpret=interpret,
     )
     return jnp.swapaxes(out, -2, -1)
 
@@ -189,6 +194,7 @@ def bilinear_sample(
     coords: jnp.ndarray,  # [..., 2] (x, y) source pixel coords
     method: str | None = None,
     use_int8: bool = True,
+    interpret: bool = False,
 ) -> jnp.ndarray:  # [...]
     """Bilinear sampling with zero outside ``[0, W-2] x [0, H-2]``.
 
@@ -200,11 +206,14 @@ def bilinear_sample(
     (scripts/profile_tracker.py --samplers).  ``use_int8`` only affects the
     Pallas kernels (uint8 sources on the int8 MXU path).
     """
-    fn = _SAMPLERS[method or default_sampler()]
-    if method in ("pallas", "pallas_win", "pallas_win2", "pallas_win_cm") or (
-        method is None and fn in (_bilinear_pallas, _bilinear_pallas_win)
-    ):
-        return fn(image, coords, use_int8=use_int8)
+    resolved = method or default_sampler()
+    fn = _SAMPLERS[resolved]
+    # Dispatch on the RESOLVED name so use_int8 reaches every pallas*
+    # sampler including the TPU default when method is None (ADVICE r4:
+    # dispatching on the raw `method` silently dropped use_int8 for the
+    # default path, making TrackerConfig.pallas_int8 a no-op there).
+    if resolved.startswith("pallas"):
+        return fn(image, coords, use_int8=use_int8, interpret=interpret)
     return fn(image, coords)
 
 

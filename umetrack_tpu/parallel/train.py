@@ -217,7 +217,9 @@ def loss_fn(
         + weights.landmark_nll * nll
     )
 
-    # 4) scale head (optional)
+    # 4) scale head (optional).  Masked like the other terms: rows whose
+    # crops were invalid must not train the scale head against real
+    # gt_scales on a meaningless fallback crop (ADVICE r4).
     scale_loss = jnp.zeros(())
     if batch.gt_scales is not None:
         (out_u, _), mutated_u = model.apply(
@@ -228,9 +230,13 @@ def loss_fn(
             method=UmeTrackNet.predict_scale,
             mutable=["batch_stats"],
         )
-        scale_loss = jnp.mean(
-            (jnp.log(out_u.skel_scales) - jnp.log(batch.gt_scales)) ** 2
+        w_row = (
+            jnp.ones_like(batch.gt_scales)
+            if batch.valid is None
+            else batch.valid.astype(batch.gt_scales.dtype)
         )
+        sq = (jnp.log(out_u.skel_scales) - jnp.log(batch.gt_scales)) ** 2
+        scale_loss = jnp.sum(w_row * sq) / jnp.maximum(jnp.sum(w_row), 1.0)
         total = total + weights.scale * scale_loss
 
     metrics = {
@@ -317,9 +323,15 @@ def temporal_loss_fn(
             mutable=["batch_stats"],
         )
         new_stats = new_stats["batch_stats"]
-        scale_loss = jnp.mean(
-            (jnp.log(out_u.skel_scales) - jnp.log(batch.gt_scales)) ** 2
+        # Frame-0 validity mask (the head is only run on frame 0); see the
+        # single-frame loss for the rationale (ADVICE r4).
+        w_row = (
+            jnp.ones_like(batch.gt_scales)
+            if batch.valid is None
+            else batch.valid[:, 0].astype(batch.gt_scales.dtype)
         )
+        sq = (jnp.log(out_u.skel_scales) - jnp.log(batch.gt_scales)) ** 2
+        scale_loss = jnp.sum(w_row * sq) / jnp.maximum(jnp.sum(w_row), 1.0)
         total = total + weights.scale * scale_loss
     metrics = {
         "loss": total,

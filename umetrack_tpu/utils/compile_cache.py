@@ -17,16 +17,31 @@ DEFAULT_DIR = os.path.join(
 
 def enable_compile_cache(path: str | None = None) -> str:
     """Idempotently point JAX's persistent compilation cache at ``path``
-    (default: <repo>/.jax_cache).  Safe to call before or after backend
-    init.
+    (default: <repo>/.jax_cache).
 
     TPU/axon only: on this environment CPU executables can be AOT-compiled
     on the remote compile service whose host has different CPU features
     (AMX/prefer-no-gather); loading such a cached CPU executable on the
     local 2-core host SIGILLs/segfaults (observed killing the test suite
     mid-run).  CPU compiles are cheap anyway, so the persistent cache is
-    reserved for the backend that needs it."""
+    reserved for the backend that needs it.
+
+    NOTE: when the platform is ambiguous this falls through to
+    ``jax.default_backend()``, which force-initializes the JAX backend —
+    in multi-process setups call this AFTER ``jax.distributed.initialize``
+    (all current call sites do).  When JAX_PLATFORMS / the jax_platforms
+    config already names a CPU-only platform the function returns without
+    touching the backend (ADVICE r4)."""
     import jax
+
+    # Non-initializing early exit: if the platform is already pinned to CPU
+    # there is nothing to do, and we must not force backend init (which
+    # would break a later jax.distributed.initialize).
+    platforms = (
+        jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS") or ""
+    ).lower()
+    if platforms and not ({"tpu", "axon"} & set(platforms.split(","))):
+        return ""
 
     try:
         backend = jax.default_backend()
