@@ -176,6 +176,7 @@ def _run(args, restrict_seqs=None, tag="train"):
         landmark_nll=args.w_nll,
         scale=args.w_scale,
         wrist_rot_gain=args.rot_gain,
+        accel=args.w_accel,
     )
 
     history_path = os.path.join(REPO, "checkpoints", f"history_{tag}.json")
@@ -318,6 +319,10 @@ def main():
     p.add_argument("--w-points", type=float, default=20.0)
     p.add_argument("--w-nll", type=float, default=0.1)
     p.add_argument("--w-scale", type=float, default=0.1)
+    p.add_argument("--w-accel", type=float, default=1000.0,
+                   help="temporal-smoothness (2nd-difference) weight; the "
+                   "squared accel mismatch is ~1e-6 m^2 so O(1e3) weights "
+                   "give it a comparable gradient share (VERDICT r4 item 2)")
     p.add_argument("--rot-gain", type=float, default=1.0,
                    help="extra gain on the rotation-carrying (centered) "
                    "wrist-point error component")

@@ -33,6 +33,10 @@ GATE_MM = 32.0
 # in every committed corpus), eval apps 1_000_000+ (reserved eval band,
 # --seed-base).
 GATE_SEED = 901
+# The gate must render with the style the committed checkpoint was trained
+# on; flipped to the capsule renderer together with the retrained round-5
+# checkpoint (see utils/synthetic.DEFAULT_RENDER_STYLE).
+RENDER_STYLE = "strokes"
 
 
 @pytest.mark.skipif(
@@ -51,7 +55,7 @@ def test_known_skeleton_mpjpe_gate():
     variables = load_checkpoint(CKPT, variables)
 
     labels, images = synthetic.make_labels_dict(
-        32, rng_seed=GATE_SEED, hand_scale=1.07
+        32, rng_seed=GATE_SEED, hand_scale=1.07, render_style=RENDER_STYLE
     )
     rig, seq, hand = synthetic.our_sequence(labels, images)
 

@@ -85,3 +85,38 @@ def test_use_memory_flags_in_window():
     assert um.shape == (2, 3)
     assert not um[:, 0].any()
     assert um[:, 1:].all()
+
+
+def test_accel_loss_reported_and_reaches_gradients(model_and_state):
+    """The smoothness term (VERDICT r4 item 2): reported in metrics for
+    windows >= 3, changes the total when weighted, and alters gradients."""
+    model, ts, _ = model_and_state
+    tb = next(synthetic_batches(2, (96, 96), window=3))
+
+    base, (_, m0) = temporal_loss_fn(
+        model, ts.params, ts.batch_stats, tb, LossWeights(accel=0.0)
+    )
+    assert "accel_loss" in m0
+    accel = float(m0["accel_loss"])
+    assert np.isfinite(accel) and accel >= 0.0
+
+    with_accel, (_, m1) = temporal_loss_fn(
+        model, ts.params, ts.batch_stats, tb, LossWeights(accel=1e3)
+    )
+    np.testing.assert_allclose(
+        float(with_accel), float(base) + 1e3 * accel, rtol=1e-5
+    )
+
+    g0 = jax.grad(
+        lambda p: temporal_loss_fn(
+            model, p, ts.batch_stats, tb, LossWeights(accel=0.0)
+        )[0]
+    )(ts.params)
+    g1 = jax.grad(
+        lambda p: temporal_loss_fn(
+            model, p, ts.batch_stats, tb, LossWeights(accel=1e4)
+        )[0]
+    )(ts.params)
+    k0 = np.asarray(g0["regressor_k"]["conv_out"]["kernel"])
+    k1 = np.asarray(g1["regressor_k"]["conv_out"]["kernel"])
+    assert not np.allclose(k0, k1)

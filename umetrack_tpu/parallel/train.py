@@ -92,6 +92,14 @@ class LossWeights:
     # (8.8 deg) dominated the overfit MPJPE while angles were at 1.7 mm —
     # the rotation-carrying component needs more gradient share.
     wrist_rot_gain: float = 1.0
+    # Temporal-smoothness weight (temporal_loss_fn only): squared error
+    # between the 2nd difference (acceleration) of predicted vs GT world
+    # landmarks/wrist-points over the TBPTT window.  Round-4 finding:
+    # tracked keypoint acceleration was ~17x GT (the reference reports this
+    # metric, load_eval.py:26-44) because nothing penalized frame-to-frame
+    # jitter.  Units are meters^2 of acceleration — amplitudes are ~1e-3 m,
+    # so useful weights are O(1e3).
+    accel: float = 0.0
 
 
 def create_train_state(
@@ -114,13 +122,16 @@ def _frame_losses(
     hand: HandModel,
     valid: Optional[jnp.ndarray] = None,  # [B] bool row mask
     rot_gain: float | jnp.ndarray = 1.0,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, dict]:
     """Per-frame supervised terms shared by the single-frame and TBPTT
     losses: (angle MSE, wrist rigid-point MSE in cam0, landmark NLL,
-    valid-row count).  Losses are sums over valid rows / per-row means over
-    their inner dims; callers divide by the returned count so masked rows
-    contribute exactly nothing (ADVICE r3: fallback crops of invalid rows
-    must not be supervised against real GT)."""
+    valid-row count, aux arrays).  Losses are sums over valid rows / per-row
+    means over their inner dims; callers divide by the returned count so
+    masked rows contribute exactly nothing (ADVICE r3: fallback crops of
+    invalid rows must not be supervised against real GT).  ``aux`` carries
+    the per-frame world-space arrays the TBPTT smoothness term needs:
+    predicted/GT landmarks (GT wrist) and predicted/GT wrist rigid points
+    transformed to world — all SVD-free."""
     b = gt_joint_angles.shape[0]
     w_row = (
         jnp.ones((b,), jnp.float32)
@@ -177,7 +188,25 @@ def _frame_losses(
     nll = jnp.sum(
         w_row * jnp.mean(jnp.log(sig) + 0.5 * (err / sig) ** 2, axis=-1)
     )
-    return angle_loss, point_loss, nll, count
+
+    # World-space per-frame arrays for the smoothness term.  The crop cam0
+    # moves with the hand, so accelerations must be measured in WORLD space:
+    # e0's 3x3 block is orthogonal (rotation, possibly x-mirrored for right
+    # hands — det -1 — but still orthogonal), so its inverse is the
+    # transpose formula either way.
+    r0t = jnp.swapaxes(e0[..., :3, :3], -1, -2)
+    t0 = e0[..., :3, 3]
+
+    def to_world(pts):  # [B, P, 3] cam0 -> world
+        return jnp.einsum("bij,bpj->bpi", r0t, pts - t0[:, None, :])
+
+    aux = {
+        "pred_lm": pred_lm,
+        "gt_lm": gt_lm,
+        "pred_pts_world": to_world(out.wrist_points),
+        "gt_pts_world": to_world(gt_points),
+    }
+    return angle_loss, point_loss, nll, count, aux
 
 
 def loss_fn(
@@ -201,7 +230,7 @@ def loss_fn(
         mutable=["batch_stats"],
     )
 
-    angle_loss, point_loss, nll, count = _frame_losses(
+    angle_loss, point_loss, nll, count, _ = _frame_losses(
         model, out, batch.frame, batch.gt_joint_angles,
         batch.gt_wrist_world, batch.hand, batch.valid,
         rot_gain=weights.wrist_rot_gain,
@@ -290,23 +319,51 @@ def temporal_loss_fn(
             method=UmeTrackNet.known_skeleton,
             mutable=["batch_stats"],
         )
-        losses = _frame_losses(
+        *losses, aux = _frame_losses(
             model, out, frame, gt_angles, gt_wrist, batch.hand, valid,
             rot_gain=weights.wrist_rot_gain,
         )
-        return (new_state, mutated["batch_stats"]), jnp.stack(losses)
+        return (new_state, mutated["batch_stats"]), (jnp.stack(losses), aux)
 
-    (_, new_stats), per_step = jax.lax.scan(step, (state0, batch_stats), xs)
+    (_, new_stats), (per_step, aux_t) = jax.lax.scan(
+        step, (state0, batch_stats), xs
+    )
     # per_step rows are (sum, sum, sum, count) — normalize over ALL valid
     # (row, frame) supervision slots in the window.
     sums = jnp.sum(per_step, axis=0)
     denom = jnp.maximum(sums[3], 1.0)
     angle_loss, point_loss, nll = sums[0] / denom, sums[1] / denom, sums[2] / denom
 
+    # Temporal smoothness: 2nd difference (acceleration) of predicted vs GT
+    # world landmarks and wrist rigid points across the window, masked to
+    # triples of consecutive valid frames.  SVD-free (landmarks use the GT
+    # wrist; wrist points are the raw pre-Procrustes predictions mapped to
+    # world).  Round-4: tracked acceleration ~17x GT with nothing in the
+    # loss touching it.
+    accel_loss = jnp.zeros(())
+    if k >= 3:
+        def second_diff(x):  # [K, B, ...] -> [K-2, B, ...]
+            return x[2:] + x[:-2] - 2.0 * x[1:-1]
+
+        valid3 = (
+            valid_t[2:] & valid_t[:-2] & valid_t[1:-1]
+        ).astype(jnp.float32)  # [K-2, B]
+        n3 = jnp.maximum(jnp.sum(valid3), 1.0)
+
+        def accel_term(pred, gt):
+            d = second_diff(pred) - second_diff(gt)
+            per = jnp.mean(jnp.sum(d * d, axis=-1), axis=-1)  # [K-2, B]
+            return jnp.sum(valid3 * per) / n3
+
+        accel_loss = accel_term(
+            aux_t["pred_lm"], aux_t["gt_lm"]
+        ) + accel_term(aux_t["pred_pts_world"], aux_t["gt_pts_world"])
+
     total = (
         weights.angles * angle_loss
         + weights.wrist_points * point_loss
         + weights.landmark_nll * nll
+        + weights.accel * accel_loss
     )
 
     # Scale head on the first frame only (zero state, no memory), mirroring
@@ -339,6 +396,7 @@ def temporal_loss_fn(
         "point_loss": point_loss,
         "landmark_nll": nll,
         "scale_loss": scale_loss,
+        "accel_loss": accel_loss,
     }
     return total, (new_stats, metrics)
 

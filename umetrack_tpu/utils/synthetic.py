@@ -45,6 +45,12 @@ CAM_JS = {
 
 N_CAMS = 4
 
+# Rendering style for all synthetic sequences: "capsule" = the 3-D shaded
+# capsule ray tracer (utils/render.py — round 5, attacks the angle-
+# generalization gap of flat strokes), "strokes" = the round-4 cv2 stroke
+# renderer (kept for A/Bs and archaeology).
+DEFAULT_RENDER_STYLE = "capsule"
+
 
 def load_generic_hand_dict():
     """Load the vendored generic hand model (assets/generic_hand_model.json,
@@ -319,12 +325,21 @@ def render_fisheye_sequence(
     rng,
     h: int = 480,
     w: int = 640,
+    style: str = None,
+    radius_scale: float = 1.0,
 ) -> np.ndarray:  # [T, N, H, W] uint8
     """Render both hands into every fisheye view over a smooth-noise
-    background."""
+    background.  ``style`` selects the renderer (DEFAULT_RENDER_STYLE)."""
     t = landmarks_world.shape[0]
     n = cam_poses.shape[0]
     images = smooth_images(rng, t, n=n, h=h, w=w, lo=25, hi=95)
+    if (style or DEFAULT_RENDER_STYLE) == "capsule":
+        from .render import render_sequence
+
+        return render_sequence(
+            landmarks_world, cam_poses, cam_jss, images, rng,
+            radius_scale=radius_scale,
+        )
     world_to_cam = np.stack([np.linalg.inv(p) for p in cam_poses])
     for ti in range(t):
         for c in range(n):
@@ -416,6 +431,7 @@ def make_labels_dict(
     mode: str = "separate",
     hand_scale: float | None = None,
     render: bool = True,
+    render_style: str = None,
 ):
     """Full label dict in the raw_data JSON schema + image tensor.
 
@@ -423,7 +439,8 @@ def make_labels_dict(
     inferable from pixels — the trainable-corpus requirement);
     ``mode="hand_hand"`` generates interacting/occluding hands;
     ``hand_scale`` scales the GT user skeleton relative to the generic model
-    (what the unknown-skeleton protocol must recover).
+    (what the unknown-skeleton protocol must recover);
+    ``render_style`` selects the renderer (default DEFAULT_RENDER_STYLE).
     """
     rng = np.random.default_rng(rng_seed)
     hand_dict = load_generic_hand_dict()
@@ -437,7 +454,10 @@ def make_labels_dict(
     if render:
         landmarks = tracker_gt_landmarks(hand_dict, angles, wrists)
         cam_jss = [dict(CAM_JS) for _ in range(N_CAMS)]
-        images = render_fisheye_sequence(landmarks, cam_poses, cam_jss, rng)
+        images = render_fisheye_sequence(
+            landmarks, cam_poses, cam_jss, rng, style=render_style,
+            radius_scale=hand_scale if hand_scale is not None else 1.0,
+        )
     else:
         images = smooth_images(rng, t)
 
@@ -589,18 +609,26 @@ def make_torchdata_sample(
         ).astype(np.float32)  # [t, 63, 3]
 
         mono = smooth_images(rng, t, n=v, h=h, w=w, lo=25, hi=95)
-        world_to_cam = np.stack([np.linalg.inv(p) for p in cam_poses])
-        for ti in range(t):
-            for c in range(v):
-                r3 = world_to_cam[c, :3, :3]
-                tr = world_to_cam[c, :3, 3]
-                v_eye = lm_gt[ti] @ r3.T + tr  # [21, 3]
-                pix = _project_pinhole_np(v_eye, intr[ti, c])
-                draw_hands_on_image(
-                    mono[ti, c], pix[None], (v_eye[..., 2] > 1.0)[None],
-                    thickness=thickness,
-                    z_mm=v_eye[None, ..., 2], px_per_mm=focal,
-                )
+        if DEFAULT_RENDER_STYLE == "capsule":
+            from .render import render_pinhole_sequence
+
+            mono = render_pinhole_sequence(
+                lm_gt[:, None], cam_poses, intr[0], mono, rng,
+                radius_scale=hand_scale if hand_scale is not None else 1.0,
+            )
+        else:
+            world_to_cam = np.stack([np.linalg.inv(p) for p in cam_poses])
+            for ti in range(t):
+                for c in range(v):
+                    r3 = world_to_cam[c, :3, :3]
+                    tr = world_to_cam[c, :3, 3]
+                    v_eye = lm_gt[ti] @ r3.T + tr  # [21, 3]
+                    pix = _project_pinhole_np(v_eye, intr[ti, c])
+                    draw_hands_on_image(
+                        mono[ti, c], pix[None], (v_eye[..., 2] > 1.0)[None],
+                        thickness=thickness,
+                        z_mm=v_eye[None, ..., 2], px_per_mm=focal,
+                    )
     else:
         import cv2
 
