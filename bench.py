@@ -85,9 +85,9 @@ def bench_ours(t_frames=16, n_seqs=64, pipeline_depth=4,
     if breakdown:
         @jax.jit
         def prep_only(rigs, seqs, hands):
-            crop_sets, crop_images = jax.vmap(
-                lambda r, q, h: trk._prepare_sequence(cfg, r, q, h, 1)
-            )(rigs, seqs, hands)
+            crop_sets, crop_images = trk._prepare_sequences_merged(
+                cfg, rigs, seqs, hands, 1
+            )
             return jnp.sum(crop_images)
 
         def timed(fn, *args, reps=3):
@@ -151,9 +151,12 @@ def bench_ours(t_frames=16, n_seqs=64, pipeline_depth=4,
         f"prep {dt_prep*1e3:.1f} ms (scan-ish {(dt_frame-dt_prep)*1e3:.1f} "
         f"ms), " if dt_prep is not None else ""
     )
+    from umetrack_tpu.tracker.tracker import _resolved_sampler
+
     print(
         f"[bench] dtype={compute_dtype} sampler="
-        f"{cfg.sampler or 'auto(pallas_win_cm)'} S={n_seqs} T={t_frames}: "
+        f"{cfg.sampler or 'auto(' + _resolved_sampler(cfg) + ')'} "
+        f"S={n_seqs} T={t_frames}: "
         f"{prep_txt}fused {dt_frame*1e3:.1f} ms, "
         f"{fps:.0f} frames/s, {tflops:.1f} TFLOP/s on {flop_src} "
         f"{flops_per_frame/1e9:.2f} GFLOP/frame "

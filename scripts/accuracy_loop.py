@@ -175,6 +175,8 @@ def phase_eval(args):
 
 
 def write_results_md(args, summaries: dict):
+    from umetrack_tpu.metrics import MPJPA_CAVEAT
+
     lines = [
         "# RESULTS — self-consistent synthetic benchmark (round 4)",
         "",
@@ -197,9 +199,8 @@ def write_results_md(args, summaries: dict):
         "so held-out means held-out on the motion axis too (ADVICE r3).",
         "- reference column: the reference's published numbers on *real* "
         "UmeTrack_data (README.md:89-97) — context, not a like-for-like "
-        "comparison.  The MPJPA column is OUR reconstruction of the "
-        "unpublished metric (mean |Δangle| over the 20 actuated DoF; see "
-        "`umetrack_tpu/metrics.py`).",
+        "comparison.",
+        "- " + MPJPA_CAVEAT,
         "",
         "| Cell | MPJPE (mm) | MPJPA (deg) | PCK-AUC | Success rate "
         "| Ref MPJPE / MPJPA (real data) |",

@@ -48,14 +48,18 @@ def sampler_ab(args):
     n_warps = s * t_frames * 4
 
     ref = None
-    for name in ["gather1d", "gather2d", "matmul", "pallas", "pallas_win", "pallas_win2", "pallas_win_cm"]:
+    for name in ["gather1d", "gather2d", "matmul", "pallas", "pallas_win",
+                 "pallas_win2", "pallas_win_cm", "pallas_pool"]:
         scfg = TrackerConfig(sampler=name)
 
         @jax.jit
         def prep_only(rigs, seqs, hands, scfg=scfg):
-            crop_sets, crop_images = jax.vmap(
-                lambda r, q, h: trk._prepare_sequence(scfg, r, q, h, 1)
-            )(rigs, seqs, hands)
+            # merged prep: the pool sampler must not sit under a vmap (its
+            # pallas grid does the batching); other samplers go through the
+            # same entry for identical output layout
+            crop_sets, crop_images = trk._prepare_sequences_merged(
+                scfg, rigs, seqs, hands, 1
+            )
             return jnp.sum(crop_images), crop_images
 
         try:
@@ -158,9 +162,7 @@ def phase_split(args):
 
     @jax.jit
     def full_prep(rigs, seqs, hands):
-        cs, ci = jax.vmap(
-            lambda r, q, h: trk._prepare_sequence(cfg, r, q, h, 1)
-        )(rigs, seqs, hands)
+        cs, ci = trk._prepare_sequences_merged(cfg, rigs, seqs, hands, 1)
         return jnp.sum(ci) + jnp.sum(cs.intrinsics)
 
     dt_gen = timed(gen_only, rigs, seqs, hands)
@@ -225,9 +227,9 @@ def main():
             # 1) prep only (crop gen + warps), summed to a scalar
             @jax.jit
             def prep_only(rigs, seqs, hands):
-                crop_sets, crop_images = jax.vmap(
-                    lambda r, q, h: trk._prepare_sequence(cfg, r, q, h, 1)
-                )(rigs, seqs, hands)
+                crop_sets, crop_images = trk._prepare_sequences_merged(
+                    cfg, rigs, seqs, hands, 1
+                )
                 return jnp.sum(crop_images) + jnp.sum(crop_sets.intrinsics)
 
             dt = timed(prep_only, rigs, seqs, hands)

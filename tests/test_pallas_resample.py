@@ -5,6 +5,7 @@ import jax.numpy as jnp
 from umetrack_tpu.ops import resample
 from umetrack_tpu.ops.pallas_resample import (
     pallas_bilinear_sample,
+    pallas_bilinear_sample_pool,
     pallas_bilinear_sample_windowed,
 )
 
@@ -137,3 +138,70 @@ def test_windowed_nonmultiple_shapes():
     )
     np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-5)
     assert out.shape == (37,)
+
+
+@pytest.mark.parametrize("column_major", [True, False])
+def test_pool_kernel_matches_gather(column_major):
+    """Image-pool kernel (scalar-prefetched source index): every warp must
+    sample ITS image exactly like the per-image gather sampler, for both
+    windowed and fallback blocks and de-duplicated source indices."""
+    rng = np.random.default_rng(5)
+    pool = rng.integers(0, 255, size=(4, 480, 640)).astype(np.float32)
+
+    gy, gx = np.mgrid[0:96, 0:96].astype(np.float32)
+    warps, srcs = [], []
+    for i, (ang, scale, ox, oy) in enumerate([
+        (0.2, 2.2, 250.0, 120.0),
+        (-0.3, 1.8, 300.0, 200.0),
+        (0.05, 2.5, 100.0, 60.0),
+        (0.4, 2.0, 400.0, 250.0),
+        (0.0, 2.1, 240.0, 130.0),
+    ]):
+        sx = scale * (np.cos(ang) * gx - np.sin(ang) * gy) + ox
+        sy = scale * (np.sin(ang) * gx + np.cos(ang) * gy) + oy
+        warps.append(np.stack([sx, sy], axis=-1))
+        srcs.append(i % 3)  # duplicated + skipped pool entries
+    # a scattered warp that forces the full-image fallback (+ out of bounds)
+    warps.append(rng.uniform(-10, 650, size=(96, 96, 2)).astype(np.float32))
+    srcs.append(3)
+    coords = np.stack(warps)
+    src_idx = np.asarray(srcs, np.int32)
+
+    out = np.asarray(
+        pallas_bilinear_sample_pool(
+            jnp.asarray(pool), jnp.asarray(coords), jnp.asarray(src_idx),
+            interpret=True, column_major=column_major,
+        )
+    )
+    for i in range(len(srcs)):
+        ref = np.asarray(
+            resample.bilinear_sample(
+                jnp.asarray(pool[src_idx[i]]), jnp.asarray(coords[i]),
+                "gather1d",
+            )
+        )
+        np.testing.assert_allclose(out[i], ref, atol=2e-2, rtol=1e-5)
+
+
+def test_pool_kernel_nonmultiple_block_padding():
+    """Warp pixel count not divisible by the block: per-warp padding must
+    not leak across warps."""
+    rng = np.random.default_rng(6)
+    pool = rng.integers(0, 255, size=(2, 200, 300)).astype(np.float32)
+    coords = rng.uniform(0, 190, size=(3, 40, 50, 2)).astype(np.float32)
+    src_idx = np.asarray([1, 0, 1], np.int32)
+    out = np.asarray(
+        pallas_bilinear_sample_pool(
+            jnp.asarray(pool), jnp.asarray(coords), jnp.asarray(src_idx),
+            interpret=True,
+        )
+    )
+    assert out.shape == (3, 40, 50)
+    for i in range(3):
+        ref = np.asarray(
+            resample.bilinear_sample(
+                jnp.asarray(pool[src_idx[i]]), jnp.asarray(coords[i]),
+                "gather1d",
+            )
+        )
+        np.testing.assert_allclose(out[i], ref, atol=2e-2, rtol=1e-5)

@@ -318,3 +318,80 @@ class TestStreamingVsScanEquivalence:
                     np.asarray(scales_scan[ti])[np.asarray(valid_scan[ti])],
                     atol=1e-5,
                 )
+
+
+class TestPoolSamplerEquivalence:
+    """The image-pool warp kernel (TrackerConfig.sampler='pallas_pool', the
+    TPU default) must produce the same tracks as the per-warp gather
+    sampler through every sequence entry point (interpret mode on CPU)."""
+
+    @pytest.fixture(scope="class")
+    def pool_data(self):
+        labels, images = synthetic.make_labels_dict(4, rng_seed=13)
+        return synthetic.our_sequence(labels, images)
+
+    def test_track_sequence_pool_matches_gather(self, pool_data):
+        import jax
+        from umetrack_tpu.models import init_model
+        from umetrack_tpu.tracker.types import TrackerConfig
+
+        rig, seq, hand = pool_data
+        model, variables = init_model(jax.random.PRNGKey(5))
+
+        res_g, _ = HandTracker(
+            model, variables, TrackerConfig(sampler="gather1d")
+        ).track_sequence(rig, seq, hand)
+        res_p, _ = HandTracker(
+            model, variables, TrackerConfig(sampler="pallas_pool")
+        ).track_sequence(rig, seq, hand)
+
+        np.testing.assert_array_equal(
+            np.asarray(res_p.valid), np.asarray(res_g.valid)
+        )
+        v = np.asarray(res_g.valid)
+        # the kernel's f32 row/column picks vs the gather's x64-promoted
+        # lerp: sub-1e-3-rad / sub-0.1-mm agreement expected
+        np.testing.assert_allclose(
+            np.asarray(res_p.joint_angles)[v],
+            np.asarray(res_g.joint_angles)[v], atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_p.wrist_xfs)[v][..., :3, 3],
+            np.asarray(res_g.wrist_xfs)[v][..., :3, 3], atol=0.1,
+        )
+
+    def test_batched_pool_matches_gather(self, pool_data):
+        import jax
+        from umetrack_tpu.models import init_model
+        from umetrack_tpu.tracker.types import TrackerConfig, TrackState
+        from umetrack_tpu.models.umetrack import TemporalState
+        from umetrack_tpu.tracker.tracker import track_sequences_batched
+
+        rig, seq, hand = pool_data
+        model, variables = init_model(jax.random.PRNGKey(5))
+
+        def stack2(tree):
+            return jax.tree_util.tree_map(
+                lambda a: None if a is None else jnp.stack([a, a]), tree
+            )
+
+        rigs, seqs, hands = stack2(rig), stack2(seq), stack2(hand)
+        init = TrackState(
+            temporal=TemporalState.zeros(4, model.config),
+            valid_history=jnp.zeros((4,), bool),
+        )
+        outs = {}
+        for name in ("gather1d", "pallas_pool"):
+            res, _ = track_sequences_batched(
+                model, TrackerConfig(sampler=name), variables,
+                rigs, seqs, init, hands,
+            )
+            outs[name] = res
+        v = np.asarray(outs["gather1d"].valid)
+        np.testing.assert_array_equal(
+            np.asarray(outs["pallas_pool"].valid), v
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs["pallas_pool"].joint_angles)[v],
+            np.asarray(outs["gather1d"].joint_angles)[v], atol=1e-3,
+        )

@@ -52,6 +52,7 @@ def print_summary(summary: dict) -> None:
     print(f"  Mean keypoint error: {summary['mpjpe_mm']:.4f} mm")
     if "mpjpa_deg" in summary:
         print(f"  MPJPA: {summary['mpjpa_deg']:.4f} deg")
+        print(f"  ({metrics.MPJPA_CAVEAT})")
     print(f"  AUC score: {summary['pck_auc']:.4f}")
     print(
         f"  Mean keypoint accelerations: "

@@ -42,19 +42,27 @@ def hand_skinning_transforms(
     joint_angles: jnp.ndarray,  # [22 or 20]
     wrist_transform: jnp.ndarray,  # [4, 4]
 ) -> jnp.ndarray:  # [17, 4, 4]
-    """Single-sample FK producing the 17 skinning frames."""
+    """Single-sample FK producing the 17 skinning frames.
+
+    The five digit chains are independent, so the chain runs as
+    ``DOF_PER_FINGER`` batched [5, 4, 4] matmuls (digit-parallel) instead of
+    5x4 sequential scalar ones — on TPU the op COUNT, not the FLOPs, is what
+    crop generation pays for (each tiny dispatched op costs ~HBM latency;
+    round-5 crop-gen shrink, VERDICT r4 item 5)."""
     local = _joint_local_transforms(
         rotation_axes[:20], rest_positions[:20], joint_angles[:20]
+    ).reshape(NUM_DIGITS, DOF_PER_FINGER, 4, 4)
+    chain = []
+    m = jnp.broadcast_to(wrist_transform, (NUM_DIGITS, 4, 4))
+    for j in range(DOF_PER_FINGER):
+        m = m @ local[:, j]
+        chain.append(m)
+    # keep frames after joints 2, 3, 4 of each digit, digit-major
+    digits = jnp.stack(chain[1:], axis=1).reshape(
+        NUM_DIGITS * (DOF_PER_FINGER - 1), 4, 4
     )
-    frames = [wrist_transform, wrist_transform]  # root + wrist
-    for digit in range(NUM_DIGITS):
-        m = wrist_transform
-        chain = []
-        for j in range(DOF_PER_FINGER):
-            m = m @ local[digit * DOF_PER_FINGER + j]
-            chain.append(m)
-        frames.extend(chain[1:])  # keep frames after joints 2, 3, 4
-    return jnp.stack(frames, axis=0)
+    root = jnp.broadcast_to(wrist_transform, (2, 4, 4))  # root + wrist
+    return jnp.concatenate([root, digits], axis=0)
 
 
 def skinning_weight_matrix(

@@ -60,6 +60,16 @@ def normalized_AUC(x: np.ndarray, y: np.ndarray, y_max: float = 1.0) -> np.ndarr
     return (auc / max_area).reshape(out_shape)
 
 
+# Canonical MPJPA caveat (VERDICT r4 item 6): ONE string, attached to every
+# surface that prints or tabulates MPJPA next to the reference's published
+# numbers.  Apps print it with the metric; docs quote it verbatim.
+MPJPA_CAVEAT = (
+    "MPJPA here is OUR reconstruction (mean |angle delta| over the 20 "
+    "actuated DoF); the reference quotes eq. 10 of the paper but ships no "
+    "implementation, so the two MPJPA columns are not directly comparable."
+)
+
+
 @dataclasses.dataclass
 class SequenceMetrics:
     keypoint_errors: np.ndarray  # [n_valid_frames]
@@ -137,4 +147,5 @@ def aggregate(metrics_list, valid_tracking_list) -> Dict[str, float]:
     }
     if angles.size:
         out["mpjpa_deg"] = float(angles.mean())
+        out["mpjpa_caveat"] = MPJPA_CAVEAT
     return out

@@ -240,6 +240,185 @@ def _warp_kernel_win(img_t_ref, x_ref, y_ref, meta_ref, out_ref, *,
         out_ref[:] = lane_slices(img_t_ref[:], w_pad, h_pad, 0, 0)
 
 
+def _warp_kernel_pool(src_ref, img_t_ref, x_ref, y_ref, meta_ref, out_ref, *,
+                      h: int, w: int, h_pad: int, w_pad: int,
+                      sel_dtype, acc_dtype, bias: float,
+                      sublanes: int = SUBLANES,
+                      win_x: int = WIN_X, win_y: int = WIN_Y):
+    """Image-POOL variant of :func:`_warp_kernel_win`: the source image for
+    this block arrives as a (1, w_pad, h_pad) slice of the preprocessed pool,
+    selected by the scalar-prefetched per-block source index through the
+    BlockSpec index_map (``src_ref`` itself is unused in the body — it only
+    drives the pipeline's image DMA).  Identical sampling math."""
+
+    def block(src, n_x, n_y, y_off, x_off):
+        p = sublanes * LANES
+        x = x_ref[0].reshape(1, p)
+        y = y_ref[0].reshape(1, p)
+        valid = (x >= 0) & (x < w - 1) & (y >= 0) & (y < h - 1)
+        x = jnp.clip(x, 0.0, w - 2)
+        y = jnp.clip(y, 0.0, h - 2)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx = x - x0
+        wy = y - y0
+        x0i = x0.astype(jnp.int32) - x_off
+        y0i = y0.astype(jnp.int32) - y_off
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n_y, p), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n_x, p), 0)
+        dn = (((1,), (0,)), ((), ()))
+        oh_y0 = (rows == y0i).astype(sel_dtype)  # exact 0/1
+        oh_y1 = (rows == y0i + 1).astype(sel_dtype)
+        r0 = jax.lax.dot_general(
+            src, oh_y0, dn, preferred_element_type=acc_dtype
+        )  # [n_x, p]
+        r1 = jax.lax.dot_general(
+            src, oh_y1, dn, preferred_element_type=acc_dtype
+        )
+        r = r0.astype(jnp.float32) * (1.0 - wy) + r1.astype(jnp.float32) * wy
+        wxm = (cols == x0i) * (1.0 - wx) + (cols == x0i + 1) * wx
+        res = jnp.sum(r * wxm, axis=0, keepdims=True) + bias
+        return jnp.where(valid, res, 0.0).reshape(1, sublanes, LANES)
+
+    x_base = pl.multiple_of(meta_ref[0, 0, 0], 32)
+    y_base = pl.multiple_of(meta_ref[0, 0, 1], LANES)
+    fits = meta_ref[0, 0, 2]
+
+    @pl.when(fits != 0)
+    def _():
+        win = img_t_ref[0, pl.ds(x_base, win_x), pl.ds(y_base, win_y)]
+        out_ref[:] = block(win, win_x, win_y, y_base, x_base)
+
+    @pl.when(fits == 0)
+    def _():
+        out_ref[:] = block(img_t_ref[0], w_pad, h_pad, 0, 0)
+
+
+@partial(jax.jit, static_argnames=(
+    "interpret", "use_int8", "sublanes", "win_x", "win_y", "column_major"))
+def pallas_bilinear_sample_pool(
+    images: jnp.ndarray,  # [M, H, W] image pool (uint8 or float)
+    coords: jnp.ndarray,  # [Wn, h, w, 2] per-warp (x, y) source coords
+    src_idx: jnp.ndarray,  # [Wn] int32 pool index per warp
+    interpret: bool = False,
+    use_int8: bool = True,
+    sublanes: int = SUBLANES,
+    win_x: int = 64,
+    win_y: int = WIN_Y,
+    column_major: bool = True,
+) -> jnp.ndarray:  # [Wn, h, w]
+    """Batched windowed warp over an image POOL (docs/ROOFLINE.md round-5
+    item).  The per-warp vmap of :func:`pallas_bilinear_sample_windowed`
+    makes XLA materialize a gathered/rebiased/transposed full source view
+    PER WARP (~0.6-1.5 MB HBM each, ~4096x per tracker step) even though a
+    frame only has 4 distinct camera images.  Here the whole pool is
+    preprocessed ONCE (one pass: rebias + transpose + pad), and each grid
+    block's image slice is selected inside the pipeline by a scalar-
+    prefetched per-block source index consumed by the BlockSpec index_map —
+    consecutive blocks with the same index reuse the VMEM copy, and XLA
+    never sees a per-warp image at all.
+
+    ``column_major`` applies the pallas_win_cm trick per warp (traverse dst
+    pixels column-major so a block covers dst COLUMNS; on roughly
+    scale-preserving warp grids the source box is then tall and narrow,
+    shrinking the window to ``win_x`` = 64).  Same out-of-bounds contract
+    and full-image fallback as every other sampler."""
+    m, h, w = images.shape
+    wn = coords.shape[0]
+    ch, cw = coords.shape[1], coords.shape[2]
+    if column_major:
+        coords = jnp.swapaxes(coords, 1, 2)  # [Wn, cw, ch, 2]
+
+    h_pad = -(-h // LANES) * LANES
+    w_pad = -(-w // 32) * 32
+    if h_pad < win_y or w_pad < win_x:
+        win_x, win_y = w_pad, h_pad  # degenerate: window = whole image
+
+    p = ch * cw  # pixels per warp
+    block_p = sublanes * LANES
+    bpw = -(-p // block_p)  # blocks per warp
+    p_pad = bpw * block_p
+
+    flat = coords.reshape(wn, p, 2).astype(jnp.float32)
+    pad = jnp.full((wn, p_pad - p, 2), -1.0, dtype=jnp.float32)
+    flat = jnp.concatenate([flat, pad], axis=1)  # [Wn, p_pad, 2]
+    g = wn * bpw
+    xs = flat[..., 0].reshape(g, sublanes, LANES)
+    ys = flat[..., 1].reshape(g, sublanes, LANES)
+
+    # Per-block tile-aligned window base + fits flag (same construction as
+    # the single-image windowed kernel).
+    x0 = jnp.floor(jnp.clip(xs, 0.0, w - 2)).astype(jnp.int32).reshape(g, block_p)
+    y0 = jnp.floor(jnp.clip(ys, 0.0, h - 2)).astype(jnp.int32).reshape(g, block_p)
+    x_base = jnp.minimum((jnp.min(x0, axis=1) // 32) * 32, w_pad - win_x)
+    y_base = jnp.minimum(
+        (jnp.min(y0, axis=1) // LANES) * LANES, h_pad - win_y
+    )
+    fits_x = (jnp.max(x0, axis=1) + 1 - x_base) <= win_x - 1
+    fits_y = (jnp.max(y0, axis=1) + 1 - y_base) <= win_y - 1
+    meta = jnp.stack(
+        [x_base, y_base, (fits_y & fits_x).astype(jnp.int32)], axis=-1
+    )[:, None, :]  # [G, 1, 3] int32 (SMEM blocks must match trailing dims)
+
+    # Per-BLOCK source index for the scalar-prefetch index_map.
+    src_per_block = jnp.repeat(src_idx.astype(jnp.int32), bpw)  # [G]
+
+    if interpret:
+        sel_dtype, acc_dtype, bias = jnp.float32, jnp.float32, 0.0
+        pool_t = images.astype(jnp.float32)
+    elif images.dtype == jnp.uint8 and use_int8:
+        sel_dtype, acc_dtype, bias = jnp.int8, jnp.int32, 128.0
+        pool_t = (images.astype(jnp.int32) - 128).astype(jnp.int8)
+    else:
+        sel_dtype, acc_dtype, bias = jnp.bfloat16, jnp.float32, 0.0
+        pool_t = images.astype(jnp.bfloat16)
+    # ONE preprocessing pass over the pool: transpose + pad to tile sizes.
+    pool_t = jnp.swapaxes(pool_t, -1, -2)  # [M, W, H]
+    pool_t = jnp.pad(pool_t, ((0, 0), (0, w_pad - w), (0, h_pad - h)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, w_pad, h_pad),
+                lambda i, src: (src[i], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, sublanes, LANES), lambda i, src: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, sublanes, LANES), lambda i, src: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 3), lambda i, src: (i, 0, 0), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, sublanes, LANES), lambda i, src: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        partial(_warp_kernel_pool, h=h, w=w, h_pad=h_pad, w_pad=w_pad,
+                sel_dtype=sel_dtype, acc_dtype=acc_dtype, bias=bias,
+                sublanes=sublanes, win_x=win_x, win_y=win_y),
+        name="warp_pool",
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g, sublanes, LANES), jnp.float32),
+        interpret=interpret,
+    )(src_per_block, pool_t, xs, ys, meta)
+
+    out = out.reshape(wn, p_pad)[:, :p]
+    if column_major:
+        return jnp.swapaxes(out.reshape(wn, cw, ch), 1, 2)
+    return out.reshape(wn, ch, cw)
+
+
 @partial(jax.jit, static_argnames=(
     "interpret", "use_int8", "sublanes", "win_x", "win_y"))
 def pallas_bilinear_sample_windowed(

@@ -76,9 +76,16 @@ def _crop_points(
     hand_idx: jnp.ndarray,
     num_crop_points: int,
     static_pts_local: jnp.ndarray | None = None,  # [n_extra, 3] this hand
+    gt_landmarks: jnp.ndarray | None = None,  # [21, 3] if already skinned
 ) -> jnp.ndarray:  # [num_crop_points, 3]
     if static_pts_local is not None:
-        gt = landmarks_from_pose(hand_model, joint_angles, wrist_xf, hand_idx)
+        gt = (
+            gt_landmarks
+            if gt_landmarks is not None
+            else landmarks_from_pose(
+                hand_model, joint_angles, wrist_xf, hand_idx
+            )
+        )
         extra = affine.transform3(wrist_xf, static_pts_local)
         return jnp.concatenate([gt, extra], axis=0)
     assert num_crop_points in (21, 42, 63)
@@ -155,7 +162,7 @@ def gen_crops_for_hand(
 
     crop_pts = _crop_points(
         hand_model, joint_angles, wrist_xf, hand_idx,
-        config.num_crop_points, static_pts_local,
+        config.num_crop_points, static_pts_local, gt_landmarks=lm,
     )
 
     def fit_one(cam_idx):

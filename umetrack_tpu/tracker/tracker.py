@@ -28,7 +28,11 @@ from ..models.umetrack import (
     UmeTrackNet,
     memory_motion_transform,
 )
-from ..ops.resample import warp_fisheye_to_pinhole
+from ..ops.resample import (
+    default_sampler,
+    fisheye_to_pinhole_coords,
+    warp_fisheye_to_pinhole,
+)
 from .crops import gen_crop_set, landmarks_from_pose
 from .types import (
     M_TO_MM,
@@ -40,6 +44,90 @@ from .types import (
     TrackState,
     TrackerConfig,
 )
+
+
+def _resolved_sampler(config: TrackerConfig) -> str:
+    """Tracker-level sampler resolution.  The image-POOL kernel
+    ("pallas_pool", ops/pallas_resample.py) is the TPU default: the per-warp
+    vmap of any single-image sampler makes XLA materialize a preprocessed
+    full source view PER WARP (docs/ROOFLINE.md round-4 finding — the
+    dominant sampling cost), while the pool kernel preprocesses each camera
+    image once and selects it per block via a scalar-prefetched index_map."""
+    if config.sampler:
+        return config.sampler
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        on_tpu = False
+    return "pallas_pool" if on_tpu else default_sampler()
+
+
+def _pool_interpret() -> bool:
+    """The pool kernel has no XLA fallback; run it in interpret mode off-TPU
+    (CPU tests) — decided at trace time like every other backend switch."""
+    try:
+        return jax.default_backend() not in ("tpu", "axon")
+    except Exception:
+        return True
+
+
+def _crop_coords(
+    rig: CameraRig,
+    T_world_from_camera: jnp.ndarray,  # [N, 4, 4]
+    crop_set: CropSet,
+    crop_size: Tuple[int, int],
+) -> jnp.ndarray:  # [2*V, h, w, 2]
+    """Per-slot fisheye source-coordinate fields for one frame (the cheap
+    per-warp math; the expensive sampling goes through the pool kernel)."""
+    flat_src = crop_set.src_cam_idx.reshape(-1)
+    flat_k = crop_set.intrinsics.reshape(-1, 3, 3)
+    flat_t = crop_set.T_world_from_eye.reshape(-1, 4, 4)
+
+    def coords_one(src_idx, k, t_wfe):
+        cam = Fisheye62Camera(
+            fx=rig.fx[src_idx],
+            fy=rig.fy[src_idx],
+            cx=rig.cx[src_idx],
+            cy=rig.cy[src_idx],
+            width=rig.width[src_idx],
+            height=rig.height[src_idx],
+            coeffs=rig.coeffs[src_idx],
+            T_world_from_eye=T_world_from_camera[src_idx],
+        )
+        return fisheye_to_pinhole_coords(k, t_wfe, cam, crop_size)
+
+    return jax.vmap(coords_one)(flat_src, flat_k, flat_t)
+
+
+def _pool_warp_frames(
+    images: jnp.ndarray,  # [F, N, H, W] raw views (F = flattened frames)
+    coords: jnp.ndarray,  # [F, 2*V, h, w, 2]
+    src_cam_idx: jnp.ndarray,  # [F, 2*V] per-slot source camera
+    view_valid: jnp.ndarray,  # [F, 2, V]
+    use_int8: bool = True,
+) -> jnp.ndarray:  # [F, 2, V, h, w] in [0, 1]
+    """ONE pool-kernel call for every warp of every frame: the F*N source
+    views are preprocessed once and selected per block inside the pipeline
+    (no per-warp image materialization)."""
+    from ..ops.pallas_resample import pallas_bilinear_sample_pool
+
+    f, n, h, w = images.shape
+    slots = coords.shape[1]
+    ch, cw = coords.shape[2], coords.shape[3]
+    src_global = (
+        jnp.arange(f, dtype=jnp.int32)[:, None] * n
+        + src_cam_idx.reshape(f, slots)
+    ).reshape(-1)
+    out = pallas_bilinear_sample_pool(
+        images.reshape(f * n, h, w),
+        coords.reshape(f * slots, ch, cw, 2),
+        src_global,
+        use_int8=use_int8,
+        interpret=_pool_interpret(),
+    )
+    warped = out.reshape(f, *view_valid.shape[1:], ch, cw)
+    warped = warped.astype(jnp.float32) / 255.0
+    return jnp.where(view_valid[..., None, None], warped, 0.0)
 
 
 def _warp_crops(
@@ -143,10 +231,21 @@ def _track_step(
         config,
         min_num_crops,
     )
-    crop_images = _warp_crops(
-        rig, obs.images, obs.T_world_from_camera, crop_set, config.crop_size,
-        sampler=config.sampler, use_int8=config.pallas_int8,
-    )
+    if _resolved_sampler(config) == "pallas_pool":
+        coords = _crop_coords(
+            rig, obs.T_world_from_camera, crop_set, config.crop_size
+        )
+        crop_images = _pool_warp_frames(
+            obs.images[None], coords[None],
+            crop_set.src_cam_idx.reshape(1, -1), crop_set.view_valid[None],
+            use_int8=config.pallas_int8,
+        )[0]
+    else:
+        crop_images = _warp_crops(
+            rig, obs.images, obs.T_world_from_camera, crop_set,
+            config.crop_size, sampler=config.sampler,
+            use_int8=config.pallas_int8,
+        )
     frame = _frame_inputs_from_crops(
         crop_set, crop_images, state, config.enable_memory
     )
@@ -231,6 +330,7 @@ def _prepare_sequence(
     static_pts = static_crop_points_local(
         hand_model_mm, config.num_crop_points
     )
+    pool = _resolved_sampler(config) == "pallas_pool"
 
     def per_frame(obs: FrameObservation):
         crop_set = gen_crop_set(
@@ -238,6 +338,11 @@ def _prepare_sequence(
             obs.gt_joint_angles, obs.gt_wrist_xfs, obs.gt_confidences,
             config, min_num_crops, static_pts,
         )
+        if pool:
+            # sampling deferred: only the cheap coordinate fields here
+            return crop_set, _crop_coords(
+                rig, obs.T_world_from_camera, crop_set, config.crop_size
+            )
         crop_images = _warp_crops(
             rig, obs.images, obs.T_world_from_camera, crop_set,
             config.crop_size, sampler=config.sampler,
@@ -245,7 +350,16 @@ def _prepare_sequence(
         )
         return crop_set, crop_images
 
-    return jax.vmap(per_frame)(seq)
+    crop_sets, second = jax.vmap(per_frame)(seq)
+    if pool:
+        t = crop_sets.src_cam_idx.shape[0]
+        crop_images = _pool_warp_frames(
+            seq.images, second,
+            crop_sets.src_cam_idx.reshape(t, -1), crop_sets.view_valid,
+            use_int8=config.pallas_int8,
+        )
+        return crop_sets, crop_images
+    return crop_sets, second
 
 
 def _model_scan(
@@ -429,11 +543,54 @@ def _prepare_sequences_merged(
     min_num_crops: int,
 ):
     """vmapped (S, T) prep, reshaped time-major with the S sequences merged
-    into 2S flat hand rows for the recurrent scan."""
+    into 2S flat hand rows for the recurrent scan.
+
+    On the pool-sampler path the (S, T) crop GEOMETRY is vmapped but the
+    sampling itself is ONE pool-kernel call over all S*T*2V warps against
+    the S*T*N preprocessed source views — the pallas grid handles the
+    batching, not vmap (a vmapped pallas_call would re-batch the image
+    operand per warp, recreating exactly the waste this kernel removes)."""
+    from .crops import static_crop_points_local
+
     s = rigs.fx.shape[0]
-    crop_sets, crop_images = jax.vmap(
-        lambda rig, seq, hm: _prepare_sequence(config, rig, seq, hm, min_num_crops)
-    )(rigs, seqs, hand_models_mm)  # leaves [S, T, 2, ...]
+    if _resolved_sampler(config) == "pallas_pool":
+        def geometry(rig, seq, hm):
+            static_pts = static_crop_points_local(hm, config.num_crop_points)
+
+            def per_frame(obs):
+                crop_set = gen_crop_set(
+                    rig, obs.T_world_from_camera, hm,
+                    obs.gt_joint_angles, obs.gt_wrist_xfs,
+                    obs.gt_confidences, config, min_num_crops, static_pts,
+                )
+                return crop_set, _crop_coords(
+                    rig, obs.T_world_from_camera, crop_set, config.crop_size
+                )
+
+            return jax.vmap(per_frame)(seq)
+
+        crop_sets, coords = jax.vmap(geometry)(
+            rigs, seqs, hand_models_mm
+        )  # leaves [S, T, ...]
+        t = crop_sets.src_cam_idx.shape[1]
+        n, h, w = seqs.images.shape[2:]
+
+        def flat_ft(a):  # [S, T, ...] -> [S*T, ...]
+            return a.reshape(s * t, *a.shape[2:])
+
+        crop_images = _pool_warp_frames(
+            seqs.images.reshape(s * t, n, h, w),
+            flat_ft(coords),
+            flat_ft(crop_sets.src_cam_idx).reshape(s * t, -1),
+            flat_ft(crop_sets.view_valid),
+            use_int8=config.pallas_int8,
+        ).reshape(s, t, *crop_sets.view_valid.shape[2:], *config.crop_size)
+    else:
+        crop_sets, crop_images = jax.vmap(
+            lambda rig, seq, hm: _prepare_sequence(
+                config, rig, seq, hm, min_num_crops
+            )
+        )(rigs, seqs, hand_models_mm)  # leaves [S, T, 2, ...]
 
     # [S, T, 2, ...] -> [T, 2S, ...]
     def to_scan(a):

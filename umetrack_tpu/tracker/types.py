@@ -31,10 +31,13 @@ class TrackerConfig:
     confidence_threshold: float = 0.5
     max_views: int = 2
     crop_size: Tuple[int, int] = (96, 96)
-    # Bilinear warp implementation (ops.resample._SAMPLERS); None = best for
-    # the backend (pallas_win on TPU, gather1d elsewhere).  Config, not env:
-    # env vars read at trace time inside jit silently stop working after the
-    # first trace (VERDICT r3 weak item 7).
+    # Bilinear warp implementation: "pallas_pool" (shared-source image-pool
+    # kernel — batches ALL warps of the prepared frames against once-
+    # preprocessed source views; the TPU default) or any ops.resample
+    # _SAMPLERS name (per-warp vmap).  None = best for the backend
+    # (pallas_pool on TPU, gather1d elsewhere).  Config, not env: env vars
+    # read at trace time inside jit silently stop working after the first
+    # trace (VERDICT r3 weak item 7).
     sampler: Optional[str] = None
     # uint8 sources take the int8 MXU path in the Pallas warp (2x bf16 rate,
     # exact via the -128 rebias); False forces bf16 selectors.
