@@ -178,7 +178,7 @@ def write_results_md(args, summaries: dict):
     from umetrack_tpu.metrics import MPJPA_CAVEAT
 
     lines = [
-        "# RESULTS — self-consistent synthetic benchmark (round 4)",
+        "# RESULTS — self-consistent synthetic benchmark (round 5)",
         "",
         "Four-cell eval-protocol table on *rendered synthetic* sequences "
         "(the reference's UmeTrack_data and pretrained weights are not "
@@ -189,7 +189,11 @@ def write_results_md(args, summaries: dict):
         "the REAL apps (`run_eval_known_skeleton`, "
         "`run_eval_unknown_skeleton` → `load_eval`) on held-out sequences "
         "from a reserved seed band with per-sequence GT hand scales the "
-        "model never saw.",
+        "model never saw.  Round 5: sequences are rendered by the capsule "
+        "ray tracer (`utils/render.py` — shaded 3-D hands with exact "
+        "occlusion, attacking the round-4 angle-generalization gap), and "
+        "training adds the temporal-smoothness objective "
+        "(`LossWeights.accel`).",
         "",
         f"- checkpoint: `{os.path.relpath(args.ckpt, REPO)}`",
         f"- eval: {args.eval_seqs} sequences x {args.eval_frames} frames "
@@ -203,23 +207,29 @@ def write_results_md(args, summaries: dict):
         "- " + MPJPA_CAVEAT,
         "",
         "| Cell | MPJPE (mm) | MPJPA (deg) | PCK-AUC | Success rate "
-        "| Ref MPJPE / MPJPA (real data) |",
-        "|---|---|---|---|---|---|",
+        "| Accel (x GT) | Ref MPJPE / MPJPA (real data) |",
+        "|---|---|---|---|---|---|---|",
     ]
     for cell, s in summaries.items():
         ref = REFERENCE_TABLE.get(cell)
         ref_txt = f"{ref[0]} / {ref[1]}" if ref else "—"
+        acc = s.get("mean_keypoint_acceleration", float("nan"))
+        gt_acc = s.get("gt_mean_keypoint_acceleration", float("nan")) or 1.0
         lines.append(
             f"| {cell} | {s['mpjpe_mm']:.2f} | "
             f"{s.get('mpjpa_deg', float('nan')):.2f} | "
             f"{s['pck_auc']:.4f} | {s['success_rate'] * 100:.1f}% | "
+            f"{acc / gt_acc:.1f}x | "
             f"{ref_txt} |"
         )
     lines += [
         "",
         "PCK-AUC is normalized to [0, 1] over 0-50 mm thresholds; the "
         "reference prints the same quantity x100 (its `load_eval.py` scales "
-        "the curve by 100 with `normalized_AUC`'s default `y_max=1`).",
+        "the curve by 100 with `normalized_AUC`'s default `y_max=1`).  "
+        "Accel (x GT) is the tracked mean 2nd-difference keypoint "
+        "acceleration over the GT's (the reference reports the same raw "
+        "metric, load_eval.py:26-44); round-4 tracked ~17x GT.",
         "",
         "Gate: `tests/test_accuracy_gate.py` loads this checkpoint and pins "
         "the achieved level on a held-out separate-hand sequence (a "

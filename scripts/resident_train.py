@@ -185,7 +185,7 @@ def _run(args, restrict_seqs=None, tag="train"):
         logger.info(
             "step %(step)d: loss=%(loss).4f angle=%(angle_loss).4f "
             "point=%(point_loss).4f nll=%(landmark_nll).4f "
-            "(%(steps_per_s).2f steps/s)" % m
+            "accel=%(accel_loss).6f (%(steps_per_s).2f steps/s)" % m
             + (
                 "  eval MPJPE %.1f mm MPJPA %.2f deg"
                 % (m["eval_mpjpe_mm"], m["eval_mpjpa_deg"])
@@ -319,7 +319,7 @@ def main():
     p.add_argument("--w-points", type=float, default=20.0)
     p.add_argument("--w-nll", type=float, default=0.1)
     p.add_argument("--w-scale", type=float, default=0.1)
-    p.add_argument("--w-accel", type=float, default=1000.0,
+    p.add_argument("--w-accel", type=float, default=200.0,
                    help="temporal-smoothness (2nd-difference) weight; the "
                    "squared accel mismatch is ~1e-6 m^2 so O(1e3) weights "
                    "give it a comparable gradient share (VERDICT r4 item 2)")

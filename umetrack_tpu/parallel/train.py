@@ -122,16 +122,13 @@ def _frame_losses(
     hand: HandModel,
     valid: Optional[jnp.ndarray] = None,  # [B] bool row mask
     rot_gain: float | jnp.ndarray = 1.0,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, dict]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-frame supervised terms shared by the single-frame and TBPTT
     losses: (angle MSE, wrist rigid-point MSE in cam0, landmark NLL,
-    valid-row count, aux arrays).  Losses are sums over valid rows / per-row
-    means over their inner dims; callers divide by the returned count so
-    masked rows contribute exactly nothing (ADVICE r3: fallback crops of
-    invalid rows must not be supervised against real GT).  ``aux`` carries
-    the per-frame world-space arrays the TBPTT smoothness term needs:
-    predicted/GT landmarks (GT wrist) and predicted/GT wrist rigid points
-    transformed to world — all SVD-free."""
+    valid-row count).  Losses are sums over valid rows / per-row means over
+    their inner dims; callers divide by the returned count so masked rows
+    contribute exactly nothing (ADVICE r3: fallback crops of invalid rows
+    must not be supervised against real GT)."""
     b = gt_joint_angles.shape[0]
     w_row = (
         jnp.ones((b,), jnp.float32)
@@ -189,24 +186,7 @@ def _frame_losses(
         w_row * jnp.mean(jnp.log(sig) + 0.5 * (err / sig) ** 2, axis=-1)
     )
 
-    # World-space per-frame arrays for the smoothness term.  The crop cam0
-    # moves with the hand, so accelerations must be measured in WORLD space:
-    # e0's 3x3 block is orthogonal (rotation, possibly x-mirrored for right
-    # hands — det -1 — but still orthogonal), so its inverse is the
-    # transpose formula either way.
-    r0t = jnp.swapaxes(e0[..., :3, :3], -1, -2)
-    t0 = e0[..., :3, 3]
-
-    def to_world(pts):  # [B, P, 3] cam0 -> world
-        return jnp.einsum("bij,bpj->bpi", r0t, pts - t0[:, None, :])
-
-    aux = {
-        "pred_lm": pred_lm,
-        "gt_lm": gt_lm,
-        "pred_pts_world": to_world(out.wrist_points),
-        "gt_pts_world": to_world(gt_points),
-    }
-    return angle_loss, point_loss, nll, count, aux
+    return angle_loss, point_loss, nll, count
 
 
 def loss_fn(
@@ -230,7 +210,7 @@ def loss_fn(
         mutable=["batch_stats"],
     )
 
-    angle_loss, point_loss, nll, count, _ = _frame_losses(
+    angle_loss, point_loss, nll, count = _frame_losses(
         model, out, batch.frame, batch.gt_joint_angles,
         batch.gt_wrist_world, batch.hand, batch.valid,
         rot_gain=weights.wrist_rot_gain,
@@ -319,13 +299,19 @@ def temporal_loss_fn(
             method=UmeTrackNet.known_skeleton,
             mutable=["batch_stats"],
         )
-        *losses, aux = _frame_losses(
+        losses = _frame_losses(
             model, out, frame, gt_angles, gt_wrist, batch.hand, valid,
             rot_gain=weights.wrist_rot_gain,
         )
-        return (new_state, mutated["batch_stats"]), (jnp.stack(losses), aux)
+        # ys carry only RAW head outputs; the smoothness term's landmark /
+        # world-point reconstructions happen AFTER the scan (a simpler scan
+        # transpose — in-scan aux pytrees made the XLA:CPU compiler segfault
+        # on the backward pass in full-suite runs).
+        return (new_state, mutated["batch_stats"]), (
+            jnp.stack(losses), out.joint_angles, out.wrist_points
+        )
 
-    (_, new_stats), (per_step, aux_t) = jax.lax.scan(
+    (_, new_stats), (per_step, angles_t, pts_t) = jax.lax.scan(
         step, (state0, batch_stats), xs
     )
     # per_step rows are (sum, sum, sum, count) — normalize over ALL valid
@@ -338,10 +324,37 @@ def temporal_loss_fn(
     # world landmarks and wrist rigid points across the window, masked to
     # triples of consecutive valid frames.  SVD-free (landmarks use the GT
     # wrist; wrist points are the raw pre-Procrustes predictions mapped to
-    # world).  Round-4: tracked acceleration ~17x GT with nothing in the
-    # loss touching it.
+    # world through the orthogonal crop-cam0 inverse).  Round-4: tracked
+    # acceleration ~17x GT with nothing in the loss touching it.  All
+    # reconstructions happen post-scan from the stacked raw outputs.
     accel_loss = jnp.zeros(())
     if k >= 3:
+        gt_angles_t = time_major(batch.gt_joint_angles)  # [K, B, 22]
+        gt_wrist_t = time_major(batch.gt_wrist_world)  # [K, B, 4, 4]
+        # hand is [B, ...]; vmap the skinning over the time axis
+        lm_fn = lambda a, w: skin_landmarks(batch.hand, a, w)
+        pred_lm_t = jax.vmap(lm_fn)(angles_t, gt_wrist_t)
+        gt_lm_t = jax.vmap(lm_fn)(gt_angles_t, gt_wrist_t)
+
+        # world-space wrist points: e0's 3x3 block is orthogonal (rotation,
+        # possibly x-mirrored for right hands — det -1), so its inverse is
+        # the transpose formula either way.
+        e0_t = frames_t.extrinsics[:, :, 0]  # [K, B, 4, 4]
+        r0t = jnp.swapaxes(e0_t[..., :3, :3], -1, -2)
+        t0 = e0_t[..., :3, 3]
+
+        def to_world(pts):  # [K, B, P, 3] cam0 -> world
+            return jnp.einsum(
+                "kbij,kbpj->kbpi", r0t, pts - t0[:, :, None, :]
+            )
+
+        sign = jnp.where(frames_t.hand_idx == 1, -1.0, 1.0).astype(
+            gt_wrist_t.dtype
+        )  # [K, B]
+        gt_eff_t = gt_wrist_t.at[..., :, 0].multiply(sign[..., None])
+        rigid = jnp.asarray(gen_rigid_points(model.config.n_wrist_rigid_pts))
+        gt_pts_t = affine.transform3((e0_t @ gt_eff_t)[:, :, None], rigid)
+
         def second_diff(x):  # [K, B, ...] -> [K-2, B, ...]
             return x[2:] + x[:-2] - 2.0 * x[1:-1]
 
@@ -355,9 +368,9 @@ def temporal_loss_fn(
             per = jnp.mean(jnp.sum(d * d, axis=-1), axis=-1)  # [K-2, B]
             return jnp.sum(valid3 * per) / n3
 
-        accel_loss = accel_term(
-            aux_t["pred_lm"], aux_t["gt_lm"]
-        ) + accel_term(aux_t["pred_pts_world"], aux_t["gt_pts_world"])
+        accel_loss = accel_term(pred_lm_t, gt_lm_t) + accel_term(
+            to_world(pts_t), to_world(gt_pts_t)
+        )
 
     total = (
         weights.angles * angle_loss
