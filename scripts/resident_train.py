@@ -203,6 +203,16 @@ def _run(args, restrict_seqs=None, tag="train"):
             model, variables, corpus, restrict_seqs, args, weights, log_fn
         )
     else:
+        def checkpoint_fn(ts_now, step):
+            if args.ckpt:
+                save_checkpoint(
+                    args.ckpt,
+                    {"params": ts_now.params,
+                     "batch_stats": ts_now.batch_stats},
+                )
+                logger.info("periodic checkpoint @ step %d -> %s",
+                            step, args.ckpt)
+
         ts, history = run_resident_training(
             model, variables, corpus, eval_corpus=evalc,
             num_steps=args.steps, seqs_per_batch=args.seqs_per_batch,
@@ -210,6 +220,7 @@ def _run(args, restrict_seqs=None, tag="train"):
             weights=weights, log_every=args.log_every,
             eval_every=args.eval_every, seed=args.seed,
             augment=not args.no_augment, log_fn=log_fn,
+            checkpoint_fn=checkpoint_fn, checkpoint_every=2000,
         )
 
     os.makedirs(os.path.join(REPO, "checkpoints"), exist_ok=True)

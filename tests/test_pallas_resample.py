@@ -140,8 +140,15 @@ def test_windowed_nonmultiple_shapes():
     assert out.shape == (37,)
 
 
-@pytest.mark.parametrize("column_major", [True, False])
-def test_pool_kernel_matches_gather(column_major):
+@pytest.mark.parametrize("column_major,sublanes,win_x", [
+    (True, 8, 64),
+    (False, 8, 64),
+    # bigger blocks (fewer grid steps — the round-5 overhead lever): 3072-
+    # and 4608-pixel blocks divide the 9216-pixel crop exactly
+    (True, 24, 128),
+    (True, 36, 192),
+])
+def test_pool_kernel_matches_gather(column_major, sublanes, win_x):
     """Image-pool kernel (scalar-prefetched source index): every warp must
     sample ITS image exactly like the per-image gather sampler, for both
     windowed and fallback blocks and de-duplicated source indices."""
@@ -171,6 +178,7 @@ def test_pool_kernel_matches_gather(column_major):
         pallas_bilinear_sample_pool(
             jnp.asarray(pool), jnp.asarray(coords), jnp.asarray(src_idx),
             interpret=True, column_major=column_major,
+            sublanes=sublanes, win_x=win_x,
         )
     )
     for i in range(len(srcs)):

@@ -311,8 +311,14 @@ def temporal_loss_fn(
             jnp.stack(losses), out.joint_angles, out.wrist_points
         )
 
+    # Rematerialize the per-frame body in the backward pass: standard TBPTT
+    # memory/compile trade (activations of K full model applies are not kept
+    # alive), and it keeps the scan's linearized program small — the XLA:CPU
+    # LLVM backend segfaulted compiling the un-remat'd scan linearization
+    # after ~130 prior in-process compiles (full-suite runs only; each test
+    # file alone passes).  Numerics are unchanged by remat.
     (_, new_stats), (per_step, angles_t, pts_t) = jax.lax.scan(
-        step, (state0, batch_stats), xs
+        jax.checkpoint(step), (state0, batch_stats), xs
     )
     # per_step rows are (sum, sum, sum, count) — normalize over ALL valid
     # (row, frame) supervision slots in the window.

@@ -105,6 +105,8 @@ def _pool_warp_frames(
     src_cam_idx: jnp.ndarray,  # [F, 2*V] per-slot source camera
     view_valid: jnp.ndarray,  # [F, 2, V]
     use_int8: bool = True,
+    sublanes: int = 24,
+    win_x: int = 128,
 ) -> jnp.ndarray:  # [F, 2, V, h, w] in [0, 1]
     """ONE pool-kernel call for every warp of every frame: the F*N source
     views are preprocessed once and selected per block inside the pipeline
@@ -124,6 +126,8 @@ def _pool_warp_frames(
         src_global,
         use_int8=use_int8,
         interpret=_pool_interpret(),
+        sublanes=sublanes,
+        win_x=win_x,
     )
     warped = out.reshape(f, *view_valid.shape[1:], ch, cw)
     warped = warped.astype(jnp.float32) / 255.0
@@ -239,6 +243,7 @@ def _track_step(
             obs.images[None], coords[None],
             crop_set.src_cam_idx.reshape(1, -1), crop_set.view_valid[None],
             use_int8=config.pallas_int8,
+            sublanes=config.pool_sublanes, win_x=config.pool_win_x,
         )[0]
     else:
         crop_images = _warp_crops(
@@ -357,6 +362,7 @@ def _prepare_sequence(
             seq.images, second,
             crop_sets.src_cam_idx.reshape(t, -1), crop_sets.view_valid,
             use_int8=config.pallas_int8,
+            sublanes=config.pool_sublanes, win_x=config.pool_win_x,
         )
         return crop_sets, crop_images
     return crop_sets, second
@@ -584,6 +590,7 @@ def _prepare_sequences_merged(
             flat_ft(crop_sets.src_cam_idx).reshape(s * t, -1),
             flat_ft(crop_sets.view_valid),
             use_int8=config.pallas_int8,
+            sublanes=config.pool_sublanes, win_x=config.pool_win_x,
         ).reshape(s, t, *crop_sets.view_valid.shape[2:], *config.crop_size)
     else:
         crop_sets, crop_images = jax.vmap(

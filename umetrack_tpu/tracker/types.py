@@ -42,6 +42,15 @@ class TrackerConfig:
     # uint8 sources take the int8 MXU path in the Pallas warp (2x bf16 rate,
     # exact via the -128 rebias); False forces bf16 selectors.
     pallas_int8: bool = True
+    # Pool-kernel block geometry: pixels per grid step = sublanes*128, with
+    # a win_x-column source window.  Grid-step fixed overhead dominates the
+    # measured sampling time above the ~3 us/warp arithmetic floor, so
+    # fewer/bigger blocks win as long as the window still covers a block's
+    # source extent (24 sublanes = 3072 px = exactly 1/3 of a 96x96 crop;
+    # win_x grows with the block's dst-column span).  Measured ladder in
+    # docs/ROOFLINE.md (round 5).
+    pool_sublanes: int = 24
+    pool_win_x: int = 128
 
 
 @struct.dataclass
